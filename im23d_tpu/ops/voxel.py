@@ -1,0 +1,222 @@
+"""Rendering-free projection ops: trilinear point splatting, separable 3D
+Gaussian smoothing, and ray-termination projection to a 2D silhouette.
+
+Parity targets (intent, not bugs — see SURVEY.md §2.1 #8):
+
+* ``TrilinearInterpolation`` (``code/utils/trilinear_interpolation.py``):
+  8-corner trilinear scatter-add of points into an S³ occupancy grid with
+  out-of-border culling.  The reference hard-codes S=64 and mis-computes the
+  low-corner weight (``1.0 - grid - grid.floor()``); we implement the intended
+  ``1 - frac`` / ``frac`` weights at the configured size.
+* ``VoxelsSmooth`` (``code/utils/smooth_voxels.py``): separable Gaussian blur
+  at a scheduled sigma.  The reference passes ``kernels=()`` so the blur never
+  runs (and would crash); we apply the true sequential separable blur derived
+  from sigma, then the per-cloud scale multiply + clamp.
+* ``EffectiveLossFunction.termination_probs`` + projection
+  (``code/utils/effective_loss_function.py:18-81``): Tulsiani-DRC-style ray
+  termination probabilities, depth sum, vertical flip.
+
+TPU notes: the splat is a scatter-add over a dense grid — kept batched and
+flat (one segment-sum per cloud) so XLA lowers it to a single fused
+scatter; the blur is three 1-D convolutions (VPU-friendly); everything
+downstream of the splat fuses into a handful of elementwise/cumsum kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from im23d_tpu.ops.camera import world_to_camera
+
+
+def _corner_offsets() -> jnp.ndarray:
+    """(8, 3) binary corner offsets of the unit cube."""
+    return jnp.asarray(
+        [[i, j, k] for i in range(2) for j in range(2) for k in range(2)],
+        dtype=jnp.int32,
+    )
+
+
+def trilinear_splat(
+    points: jnp.ndarray,
+    size: int,
+    weights: jnp.ndarray | None = None,
+    border_eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Scatter points into a dense (size³) occupancy grid by trilinear weights.
+
+    Args:
+      points: (B, N, 3) normalized coordinates in [-0.5, 0.5], component
+        order (z, y, x) — matching the camera-space convention.
+      size: grid resolution S (static).
+      weights: optional (B, N) per-point weights (used for shape-static
+        point dropout: dropped points get weight 0).
+      border_eps: points with any |coord| >= 0.5 - eps are culled, matching
+        the reference border test (``trilinear_interpolation.py:17-25``).
+
+    Returns:
+      (B, S, S, S) float grid, clamped to [0, 1] (clipped occupancy sum,
+      ``trilinear_interpolation.py:74``).
+    """
+    B, N, _ = points.shape
+    S = int(size)
+
+    grid = (S - 1) * (points + 0.5)  # (B, N, 3), reference get_grid (:27-35)
+    base = jnp.floor(grid)
+    frac = grid - base
+    base_i = base.astype(jnp.int32)
+
+    in_bounds = jnp.all(
+        (points > -0.5 + border_eps) & (points < 0.5 - border_eps), axis=-1
+    )  # (B, N)
+    w_point = in_bounds.astype(points.dtype)
+    if weights is not None:
+        w_point = w_point * weights
+
+    offs = _corner_offsets()  # (8, 3)
+    # Corner weights: prod over components of (1-frac) or frac.  (B, N, 8)
+    offs_f = offs.astype(points.dtype)  # (8, 3)
+    cw = jnp.prod(
+        frac[:, :, None, :] * offs_f + (1.0 - frac[:, :, None, :]) * (1.0 - offs_f),
+        axis=-1,
+    )
+    cw = cw * w_point[:, :, None]
+
+    idx = base_i[:, :, None, :] + offs[None, None, :, :]  # (B, N, 8, 3)
+    # Culled points may carry garbage indices — clamp them; weight is 0.
+    idx = jnp.clip(idx, 0, S - 1)
+    flat_idx = (idx[..., 0] * S + idx[..., 1]) * S + idx[..., 2]  # (B, N, 8)
+
+    def one_cloud(fi, w):
+        return jax.ops.segment_sum(
+            w.reshape(-1), fi.reshape(-1), num_segments=S * S * S
+        )
+
+    voxels = jax.vmap(one_cloud)(flat_idx, cw).reshape(B, S, S, S)
+    return jnp.clip(voxels, 0.0, 1.0)
+
+
+def gaussian_kernel_1d(sigma: jnp.ndarray, kernel_size: int = 21) -> jnp.ndarray:
+    """Normalized 1-D Gaussian taps of static length; sigma may be traced.
+
+    Tap positions match the reference ``separate_kernels``
+    (``smooth_voxels.py:14-42``): arange(-(K//2 - (K+1)%2) .. K//2) — for odd
+    K this is the symmetric window centered at 0.
+    """
+    half = kernel_size // 2
+    x = jnp.arange(-(kernel_size - 1 - half), half + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return k / jnp.sum(k)
+
+
+def _blur_along_axis(v: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1-D 'same' convolution of ``v`` along ``axis`` with ``kernel``."""
+    K = kernel.shape[0]
+    v = jnp.moveaxis(v, axis, -1)
+    shape = v.shape
+    x = v.reshape(-1, 1, shape[-1])
+    k = kernel.reshape(1, 1, K).astype(v.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(1,),
+        padding=[(K // 2, (K - 1) // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return jnp.moveaxis(y.reshape(shape), -1, axis)
+
+
+def gaussian_blur_3d(
+    voxels: jnp.ndarray,
+    sigma: jnp.ndarray,
+    kernel_size: int = 21,
+    scale: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Separable 3-D Gaussian blur + optional per-cloud scale, clamped to [0,1].
+
+    Implements the *intended* behavior of ``VoxelsSmooth.smooth``
+    (``smooth_voxels.py:44-84``): sequential convolution along x, y, z with a
+    sigma-derived kernel (the reference both drops the kernels and feeds the
+    unblurred input to each conv; we do the real separable blur), followed by
+    ``* scale`` and clamp when a scale head is present.
+    """
+    k = gaussian_kernel_1d(sigma, kernel_size)
+    out = voxels
+    for axis in (3, 2, 1):  # x, y, z of (B, Z, Y, X)
+        out = _blur_along_axis(out, k, axis)
+    if scale is not None:
+        out = out * scale.reshape(-1, 1, 1, 1)
+        out = jnp.clip(out, 0.0, 1.0)
+    return out
+
+
+def termination_probs(voxels: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
+    """Occupancies -> ray termination probabilities (Tulsiani-DRC style).
+
+    Cell (b, z) has high termination probability iff its occupancy is high
+    and all occupancies before it along the depth axis are low; an extra
+    background cell makes the probabilities sum to ~1.  Parity:
+    ``EffectiveLossFunction.termination_probs``
+    (``effective_loss_function.py:18-56``), including the epsilon-filled
+    (not zero) leading plane.
+
+    Args:
+      voxels: (B, Z, Y, X) occupancies.
+    Returns:
+      (B, Z+1, Y, X) termination probabilities.
+    """
+    o = jnp.clip(voxels, epsilon, 1.0 - epsilon)
+    log_vac = jnp.log1p(-o)  # log(1 - o)
+    log_occ = jnp.log(o)
+    cum = jnp.cumsum(log_vac, axis=1)
+    eps_plane = jnp.full_like(o[:, :1], epsilon)
+    r1 = jnp.concatenate([eps_plane, cum], axis=1)
+    r2 = jnp.concatenate([log_occ, eps_plane], axis=1)
+    return jnp.exp(r1 + r2)
+
+
+def project_silhouette(probs: jnp.ndarray) -> jnp.ndarray:
+    """Depth-sum of termination probs (background cell dropped) + vertical flip.
+
+    Parity: ``effective_loss_function.py:79-81``.
+    """
+    return jnp.flip(jnp.sum(probs[:, :-1], axis=1), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size", "kernel_size"))
+def point_cloud_to_silhouette(
+    point_cloud: jnp.ndarray,
+    rotation: jnp.ndarray,
+    sigma: jnp.ndarray,
+    scale: jnp.ndarray | None = None,
+    weights: jnp.ndarray | None = None,
+    voxel_size: int = 64,
+    kernel_size: int = 21,
+) -> jnp.ndarray:
+    """Full rendering-free projection: camera transform -> splat -> blur ->
+    termination probabilities -> 2D silhouette.
+
+    The functional equivalent of ``EffectiveLossFunction.forward``
+    (``effective_loss_function.py:58-81``), with sigma as a traced scalar so
+    the training-time sigma schedule does not retrigger compilation.
+
+    Args:
+      point_cloud: (B, N, 3) points, (z, y, x) order, in [-0.5, 0.5]³ object
+        space.
+      rotation: (B, 4) wxyz pose quaternions.
+      sigma: scalar smoothing stddev (traced).
+      scale: optional (B,) or (B, 1) per-cloud occupancy scale.
+      weights: optional (B, N) per-point splat weights (dropout mask).
+      voxel_size: grid resolution S (static).
+
+    Returns:
+      (B, S, S) silhouettes.
+    """
+    cam = world_to_camera(point_cloud, rotation)
+    vox = trilinear_splat(cam, voxel_size, weights=weights)
+    smooth = gaussian_blur_3d(vox, sigma, kernel_size=kernel_size, scale=scale)
+    probs = termination_probs(smooth)
+    return project_silhouette(probs)

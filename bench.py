@@ -1,0 +1,81 @@
+"""Flagship benchmark: ShapeNet-chairs unsupervised train step on TPU.
+
+Reference config: ``code/training_test_shape_net.py:184-197`` — batch 24,
+image 128, voxel 64, 8000 points, 5 views, 4 pose candidates.  Metric is
+training throughput in images/sec (batch * steps/sec of the full jitted
+train step: forward, 480-way candidate projection, backward, AdamW).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no wall-clock numbers (BASELINE.md), so vs_baseline
+compares against the previous round's recorded value when available
+(BENCH_r*.json), else 1.0.
+"""
+
+import glob
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from im23d_tpu.data.synthetic import SyntheticSilhouettes
+    from im23d_tpu.parallel.mesh import make_mesh
+    from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
+
+    cfg = ShapeNetConfig.chairs()
+    n_dev = len(jax.devices())
+    batch = cfg.batch_size
+    if batch % n_dev:
+        batch = ((batch + n_dev - 1) // n_dev) * n_dev
+        cfg = ShapeNetConfig(**{**cfg.__dict__, "batch_size": batch})
+
+    mesh = make_mesh()
+    learner = ShapeNetLearner(cfg, mesh=mesh)
+    data = SyntheticSilhouettes(
+        cfg.batch_size, cfg.image_size, cfg.num_views, n_points=256, seed=0
+    )
+    batch_np = data.next_batch()
+
+    # Warmup / compile
+    for _ in range(3):
+        losses = learner.train_step(batch_np)
+    jax.block_until_ready(losses["total_loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        losses = learner.train_step(batch_np)
+    jax.block_until_ready(losses["total_loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = cfg.batch_size * n_steps / dt
+
+    prior = None
+    for path in sorted(glob.glob("BENCH_r*.json"), key=lambda p: int(re.findall(r"\d+", p)[0])):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            if rec.get("unit") == "imgs/sec":
+                prior = float(rec["value"])
+        except Exception:
+            pass
+
+    vs_baseline = imgs_per_sec / prior if prior else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "shapenet_chairs_train_throughput",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""ShapeNet multi-view render dataset (host-side input pipeline).
+
+Reads the exact on-disk layout the reference consumes
+(``code/data/shape_net_dataset.py``): a split file ``<synset>.{train,valid}``
+listing model dirs, each containing ``render*.png`` (RGBA; alpha is the
+mask) and ``camera*.mat`` (Blender camera position -> quaternion).
+
+Host-side decode (PIL / scipy.io) feeds device-side compute; batches are
+plain numpy dicts, sharded onto the mesh by the trainer.  No torch
+DataLoader — a thread-pooled prefetching iterator keeps the TPU fed.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from im23d_tpu.ops.quaternion import blender_camera_to_quaternion
+
+SYNSET_IDS = {
+    "chairs": "03001627",
+    "planes": "02691156",
+    "cars": "02958343",
+}
+
+
+def get_model_dirs(root: str, synset_id: str, split: str) -> list[Path]:
+    """Model directories listed in ``<root>/<synset>.<split>``.
+
+    Parity: reference ``get_models`` (``shape_net_dataset.py:22-31``).
+    """
+    root = Path(root)
+    assert split in ("train", "valid")
+    split_file = root / f"{synset_id}.{split}"
+    data = root / synset_id
+    with open(split_file) as fh:
+        return [data / line.strip() for line in fh if line.strip()]
+
+
+def _load_image_rgba(path: Path, image_size: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0  # (H, W, 4)
+
+
+class ShapeNetRenders:
+    """Per-model multi-view sample: images (V,H,W,3), poses, masks (V,H,W).
+
+    Parity: reference ``ShapeNet`` dataset (``shape_net_dataset.py:34-69``);
+    ``use_camera=False`` returns the view images as the pose input (the
+    unsupervised pipeline predicts poses from views).
+    """
+
+    def __init__(self, model_dirs: Sequence[Path], use_camera: bool = True,
+                 image_size: int = 128):
+        self.model_dirs = list(model_dirs)
+        self.use_camera = use_camera
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        return len(self.model_dirs)
+
+    def __getitem__(self, idx: int):
+        model = self.model_dirs[idx]
+        images, masks, cameras = [], [], []
+        for name in sorted(os.listdir(model)):
+            if name.startswith("render"):
+                o = _load_image_rgba(model / name, self.image_size)
+                images.append(o[..., :3])
+                masks.append(o[..., 3])
+            elif name.startswith("camera"):
+                from scipy.io import loadmat
+
+                cam = loadmat(model / name)
+                cameras.append(blender_camera_to_quaternion(cam["pos"]))
+        images = np.stack(images)  # (V, H, W, 3)
+        masks = np.stack(masks)  # (V, H, W)
+        poses = np.stack(cameras) if self.use_camera else images
+        return images, poses, masks
+
+
+def multi_view_collate(samples, rng: np.random.RandomState):
+    """One random view image per model + all V poses/masks concatenated.
+
+    Parity: reference ``multi_view_collate`` (``shape_net_dataset.py:72-90``).
+    Returns dict(images (B,H,W,3), pose_input (B*V,...), masks (B*V,H,W)).
+    """
+    images, pose_input, masks = [], [], []
+    for imgs, poses, msks in samples:
+        v = rng.randint(imgs.shape[0])
+        images.append(imgs[v])
+        pose_input.append(poses)
+        masks.append(msks)
+    return dict(
+        images=np.stack(images),
+        pose_input=np.concatenate(pose_input, axis=0),
+        masks=np.concatenate(masks, axis=0),
+    )
+
+
+class _PrefetchIterator:
+    """Background-thread batch producer (replaces torch DataLoader workers)."""
+
+    def __init__(self, make_batch, num_prefetch: int = 4):
+        self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=num_prefetch)
+        self._make_batch = make_batch
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self._make_batch()
+            self._queue.put(batch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue_mod.Empty:
+            pass
+
+
+class DataBunch:
+    """Train/valid datasets + infinite shuffled train iterator.
+
+    Parity: reference ``DataBunch`` (``shape_net_dataset.py:93-115``); train
+    runs on train split with shuffling and drop-last; valid iterates in
+    order at 2x batch.
+    """
+
+    def __init__(self, root: str, category: str = "chairs", batch_size: int = 10,
+                 image_size: int = 128, use_camera: bool = True, seed: int = 0):
+        synset = SYNSET_IDS[category]
+        self.batch_size = batch_size
+        self.train_ds = ShapeNetRenders(
+            get_model_dirs(root, synset, "train"), use_camera, image_size
+        )
+        self.valid_ds = ShapeNetRenders(
+            get_model_dirs(root, synset, "valid"), use_camera, image_size
+        )
+        self._rng = np.random.RandomState(seed)
+
+    def _train_batch(self):
+        idx = self._rng.choice(len(self.train_ds), self.batch_size, replace=False)
+        return multi_view_collate([self.train_ds[i] for i in idx], self._rng)
+
+    def train_iter(self, num_prefetch: int = 4) -> Iterator[dict]:
+        return _PrefetchIterator(self._train_batch, num_prefetch)
+
+    def valid_batches(self) -> Iterator[dict]:
+        bs = self.batch_size * 2
+        rng = np.random.RandomState(0)
+        for start in range(0, len(self.valid_ds) - bs + 1, bs):
+            yield multi_view_collate(
+                [self.valid_ds[i] for i in range(start, start + bs)], rng
+            )

@@ -1,0 +1,261 @@
+"""ShapeNet unsupervised trainer: jitted SPMD train/eval steps + loop.
+
+Functional re-design of the reference ``Learner``
+(``code/training_test_shape_net.py:32-179``):
+
+* AdamW with the same hyperparameters (``:59-60``), linear p/sigma schedules
+  (``parameter_adjustment``, ``:21-29``) — but the schedule values are traced
+  scalars derived from the step counter inside the compiled step, so the
+  whole 130k-step run is ONE XLA executable (the reference mutates module
+  attributes from Python each step).
+* Data parallel over a jax.sharding mesh: batch axis sharded, params
+  replicated; XLA inserts the ICI gradient all-reduce.
+* Checkpoints {params, opt_state, step} via orbax
+  (reference: ``torch.save`` dict, ``:168-171``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from im23d_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from im23d_tpu.core.metrics_logger import MetricsLogger
+from im23d_tpu.losses.effective import unsupervised_loss
+from im23d_tpu.models.pointcloud_nets import UnsupervisedPart
+from im23d_tpu.ops.pointcloud import keep_mask
+from im23d_tpu.parallel.mesh import (
+    batch_sharded,
+    make_mesh,
+    replicated,
+    shard_batch_pytree,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeNetConfig:
+    """Per-category run config (reference ``__main__`` blocks, ``:182-237``)."""
+
+    image_size: int = 128
+    voxel_size: int = 64
+    num_points: int = 8000
+    num_views: int = 5
+    num_candidates: int = 4
+    batch_size: int = 24
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-3
+    total_steps: int = 130_000
+    p_schedule: tuple[float, float] = (0.07, 1.0)
+    sigma_schedule: tuple[float, float] = (3.0, 0.2)
+    student_weight: float = 20.0
+    eval_every: int = 13_000
+    log_every: int = 50
+    seed: int = 100
+
+    @staticmethod
+    def chairs() -> "ShapeNetConfig":
+        return ShapeNetConfig()
+
+    @staticmethod
+    def planes() -> "ShapeNetConfig":
+        return ShapeNetConfig(
+            image_size=64, voxel_size=32, num_points=4000, batch_size=16,
+            learning_rate=1e-4, total_steps=30_000,
+            p_schedule=(0.256, 1.0), sigma_schedule=(2.44, 0.2),
+            eval_every=10_000,
+        )
+
+    @staticmethod
+    def cars() -> "ShapeNetConfig":
+        return ShapeNetConfig(
+            image_size=64, voxel_size=32, num_points=4000, batch_size=16,
+            learning_rate=1e-4, total_steps=50_000,
+            p_schedule=(0.2095, 1.0), sigma_schedule=(2.58, 0.2),
+            eval_every=10_000,
+        )
+
+
+def _interp(schedule: tuple[float, float], frac: jnp.ndarray) -> jnp.ndarray:
+    lo, hi = schedule
+    return lo * (1.0 - frac) + hi * frac
+
+
+class ShapeNetLearner:
+    def __init__(self, config: ShapeNetConfig, workdir: str | None = None,
+                 mesh=None):
+        self.cfg = config
+        self.workdir = workdir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = UnsupervisedPart(
+            num_points=config.num_points,
+            num_candidates=config.num_candidates,
+            num_views=config.num_views,
+        )
+        self._base_rng = jax.random.PRNGKey(config.seed)
+        self.state = self._init_state()
+        self._train_step = self._build_step(training=True)
+        self._eval_step = self._build_step(training=False)
+        self.logger = MetricsLogger(workdir, "shapenet") if workdir else None
+
+    # -- state ------------------------------------------------------------
+
+    def _init_state(self) -> train_state.TrainState:
+        cfg = self.cfg
+        imgs = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        pose_imgs = jnp.zeros(
+            (cfg.num_views, cfg.image_size, cfg.image_size, 3), jnp.float32
+        )
+        params = self.model.init(self._base_rng, imgs, pose_imgs)
+        tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        state = train_state.TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx
+        )
+        return jax.device_put(state, replicated(self.mesh))
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _schedules(self, step: jnp.ndarray):
+        frac = jnp.clip(
+            step.astype(jnp.float32) / float(self.cfg.total_steps), 0.0, 1.0
+        )
+        return _interp(self.cfg.p_schedule, frac), _interp(
+            self.cfg.sigma_schedule, frac
+        )
+
+    def _loss_fn(self, params, batch, rng, p, sigma, training):
+        cfg = self.cfg
+        outputs = self.model.apply(params, batch["images"], batch["pose_input"])
+        B = batch["images"].shape[0]
+        keep_w = keep_mask(rng, B, cfg.num_points, p)
+        losses, aux = unsupervised_loss(
+            outputs,
+            batch["masks"],
+            sigma,
+            keep_w,
+            cfg.num_views,
+            voxel_size=cfg.voxel_size,
+            student_weight=cfg.student_weight,
+            training=training,
+        )
+        return losses["total_loss"], (losses, aux)
+
+    def _build_step(self, training: bool):
+        mesh = self.mesh
+        batch_shd = batch_sharded(mesh)
+        repl = replicated(mesh)
+
+        if training:
+
+            def step_fn(state, batch, rng):
+                p, sigma = self._schedules(state.step)
+                grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+                (_, (losses, aux)), grads = grad_fn(
+                    state.params, batch, rng, p, sigma, True
+                )
+                new_state = state.apply_gradients(grads=grads)
+                return new_state, losses, aux["min_indexes"]
+
+            return jax.jit(
+                step_fn,
+                in_shardings=(repl, batch_shd, repl),
+                donate_argnums=(0,),
+            )
+
+        def eval_fn(state, batch, rng):
+            p, sigma = self._schedules(state.step)
+            _, (losses, _) = self._loss_fn(
+                state.params, batch, rng, p, sigma, False
+            )
+            return losses
+
+        return jax.jit(eval_fn, in_shardings=(repl, batch_shd, repl))
+
+    # -- public API ---------------------------------------------------------
+
+    def train_step(self, batch: dict) -> dict:
+        step = int(self.state.step)
+        rng = jax.random.fold_in(self._base_rng, step)
+        batch = shard_batch_pytree(batch, self.mesh)
+        self.state, losses, min_idx = self._train_step(self.state, batch, rng)
+        self._last_min_idx = min_idx
+        return losses
+
+    def eval_step(self, batch: dict) -> dict:
+        rng = jax.random.fold_in(self._base_rng, 2**30 + int(self.state.step))
+        batch = shard_batch_pytree(batch, self.mesh)
+        return self._eval_step(self.state, batch, rng)
+
+    def save(self, workdir: str | None = None) -> str:
+        workdir = workdir or self.workdir
+        tree = dict(
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            step=int(self.state.step),
+        )
+        return save_checkpoint(workdir, int(self.state.step), tree)
+
+    def restore(self, workdir: str | None = None, step: int | None = None):
+        workdir = workdir or self.workdir
+        if step is None:
+            step = latest_step(workdir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {workdir}")
+        target = dict(
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            step=0,
+        )
+        tree = restore_checkpoint(workdir, step, target)
+        self.state = self.state.replace(
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+
+    def fit(self, train_iter: Iterator[dict], num_steps: int | None = None,
+            valid_batches=None) -> dict:
+        """Run the training loop; returns the final loss dict."""
+        cfg = self.cfg
+        num_steps = num_steps or cfg.total_steps
+        losses: dict[str, Any] = {}
+        t0 = time.time()
+        for _ in range(num_steps):
+            batch = next(train_iter)
+            losses = self.train_step(batch)
+            step = int(self.state.step)
+            if self.logger and step % cfg.log_every == 0:
+                host = {k: float(v) for k, v in losses.items()}
+                host["steps_per_sec"] = cfg.log_every / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                self.logger.log(step, host)
+                self.logger.log_histogram(step, "other/predictors", self._last_min_idx)
+            if step % cfg.eval_every == 0:
+                if valid_batches is not None:
+                    self.evaluate(valid_batches)
+                if self.workdir:
+                    self.save()
+        return {k: float(v) for k, v in losses.items()}
+
+    def evaluate(self, valid_batches) -> dict:
+        import numpy as np
+
+        all_losses = []
+        for batch in valid_batches() if callable(valid_batches) else valid_batches:
+            out = self.eval_step(batch)
+            all_losses.append({k: float(v) for k, v in out.items()})
+        if not all_losses:
+            return {}
+        means = {
+            k: float(np.mean([d[k] for d in all_losses])) for k in all_losses[0]
+        }
+        if self.logger:
+            self.logger.log(int(self.state.step), {f"valid/{k}": v for k, v in means.items()})
+        return means

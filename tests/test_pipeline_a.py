@@ -1,0 +1,175 @@
+"""End-to-end tests of the ShapeNet unsupervised pipeline (Pipeline A)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from im23d_tpu.data.synthetic import SyntheticSilhouettes
+from im23d_tpu.losses.effective import unsupervised_loss
+from im23d_tpu.models.pointcloud_nets import UnsupervisedPart
+from im23d_tpu.ops.pointcloud import keep_mask
+from im23d_tpu.parallel.mesh import make_mesh
+from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
+
+TINY = dict(
+    image_size=32,
+    voxel_size=16,
+    num_points=128,
+    num_views=2,
+    num_candidates=3,
+    batch_size=2,
+    total_steps=10,
+    eval_every=1000,
+    log_every=1000,
+)
+
+
+def tiny_config(**kw) -> ShapeNetConfig:
+    return ShapeNetConfig(**{**TINY, **kw})
+
+
+def tiny_batch(cfg: ShapeNetConfig, seed=0):
+    data = SyntheticSilhouettes(
+        cfg.batch_size, cfg.image_size, cfg.num_views,
+        n_points=64, seed=seed,
+    )
+    return data.next_batch()
+
+
+def test_model_output_shapes():
+    cfg = tiny_config()
+    model = UnsupervisedPart(
+        num_points=cfg.num_points,
+        num_candidates=cfg.num_candidates,
+        num_views=cfg.num_views,
+    )
+    B, V, H = cfg.batch_size, cfg.num_views, cfg.image_size
+    imgs = jnp.zeros((B, H, H, 3))
+    pose_imgs = jnp.zeros((B * V, H, H, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs, pose_imgs)
+    out = model.apply(params, imgs, pose_imgs)
+    assert out["point_cloud"].shape == (B, cfg.num_points, 3)
+    assert out["scale"].shape == (B, 1)
+    assert out["ensemble_q"].shape == (B * V, cfg.num_candidates, 4)
+    assert out["student_q"].shape == (B * V, 4)
+    # point cloud within [-0.5, 0.5]
+    assert np.abs(np.asarray(out["point_cloud"])).max() <= 0.5
+
+
+def test_unsupervised_loss_train_and_eval():
+    cfg = tiny_config()
+    model = UnsupervisedPart(
+        num_points=cfg.num_points,
+        num_candidates=cfg.num_candidates,
+        num_views=cfg.num_views,
+    )
+    batch = tiny_batch(cfg)
+    imgs = jnp.asarray(batch["images"])
+    pose_imgs = jnp.asarray(batch["pose_input"])
+    masks = jnp.asarray(batch["masks"])
+    params = model.init(jax.random.PRNGKey(0), imgs, pose_imgs)
+    out = model.apply(params, imgs, pose_imgs)
+    kw = keep_mask(jax.random.PRNGKey(1), cfg.batch_size, cfg.num_points, jnp.float32(0.5))
+
+    losses, aux = unsupervised_loss(
+        out, masks, jnp.float32(2.0), kw, cfg.num_views,
+        voxel_size=cfg.voxel_size, training=True,
+    )
+    assert set(losses) == {"projection_loss", "student_loss", "total_loss"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    assert aux["projection"].shape == (
+        cfg.batch_size * cfg.num_views, cfg.num_candidates,
+        cfg.voxel_size, cfg.voxel_size,
+    )
+    assert aux["min_indexes"].shape == (cfg.batch_size * cfg.num_views,)
+
+    ev_losses, ev_aux = unsupervised_loss(
+        out, masks, jnp.float32(2.0), kw, cfg.num_views,
+        voxel_size=cfg.voxel_size, training=False,
+    )
+    assert np.isfinite(float(ev_losses["projection_loss"]))
+    assert ev_aux["projection"].shape == (
+        cfg.batch_size * cfg.num_views, cfg.voxel_size, cfg.voxel_size
+    )
+
+
+def test_learner_loss_decreases_on_fixed_batch():
+    cfg = tiny_config(learning_rate=2e-4)
+    learner = ShapeNetLearner(cfg, mesh=make_mesh(jax.devices()[:1]))
+    batch = tiny_batch(cfg)
+    first = learner.train_step(batch)
+    for _ in range(8):
+        last = learner.train_step(batch)
+    assert float(last["total_loss"]) < float(first["total_loss"])
+    assert int(learner.state.step) == 9
+
+
+def test_learner_multidevice_matches_shapes():
+    # 8 virtual CPU devices: batch 8 sharded over the mesh.
+    assert jax.device_count() >= 8
+    cfg = tiny_config(batch_size=8)
+    mesh = make_mesh(jax.devices()[:8])
+    learner = ShapeNetLearner(cfg, mesh=mesh)
+    batch = tiny_batch(cfg)
+    losses = learner.train_step(batch)
+    assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_single_vs_multidevice_parity():
+    # Same params, same batch, same rng: dp-sharded grads == single device.
+    cfg = tiny_config(batch_size=8)
+    batch = tiny_batch(cfg)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    mesh8 = make_mesh(jax.devices()[:8])
+    l1 = ShapeNetLearner(cfg, mesh=mesh1)
+    l8 = ShapeNetLearner(cfg, mesh=mesh8)
+    # identical init (same seed)
+    r1 = l1.train_step(batch)
+    r8 = l8.train_step(batch)
+    np.testing.assert_allclose(
+        float(r1["total_loss"]), float(r8["total_loss"]), rtol=1e-4
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    learner = ShapeNetLearner(cfg, workdir=str(tmp_path), mesh=make_mesh(jax.devices()[:1]))
+    batch = tiny_batch(cfg)
+    learner.train_step(batch)
+    learner.train_step(batch)
+    path = learner.save()
+    assert path
+
+    learner2 = ShapeNetLearner(cfg, workdir=str(tmp_path), mesh=make_mesh(jax.devices()[:1]))
+    learner2.restore()
+    assert int(learner2.state.step) == 2
+    p1 = jax.tree_util.tree_leaves(learner.state.params)
+    p2 = jax.tree_util.tree_leaves(learner2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored learner continues training
+    out = learner2.train_step(batch)
+    assert np.isfinite(float(out["total_loss"]))
+
+
+def test_fit_loop_with_synthetic_data(tmp_path):
+    cfg = tiny_config(total_steps=5, log_every=2)
+    learner = ShapeNetLearner(cfg, workdir=str(tmp_path), mesh=make_mesh(jax.devices()[:1]))
+    data = SyntheticSilhouettes(cfg.batch_size, cfg.image_size, cfg.num_views, n_points=64)
+    losses = learner.fit(iter(data), num_steps=5)
+    assert np.isfinite(losses["total_loss"])
+    assert int(learner.state.step) == 5
+
+
+def test_schedule_endpoints():
+    cfg = tiny_config(total_steps=100)
+    learner = ShapeNetLearner(cfg, mesh=make_mesh(jax.devices()[:1]))
+    p0, s0 = learner._schedules(jnp.asarray(0))
+    p1, s1 = learner._schedules(jnp.asarray(100))
+    np.testing.assert_allclose(float(p0), cfg.p_schedule[0], atol=1e-6)
+    np.testing.assert_allclose(float(p1), cfg.p_schedule[1], atol=1e-6)
+    np.testing.assert_allclose(float(s0), cfg.sigma_schedule[0], atol=1e-6)
+    np.testing.assert_allclose(float(s1), cfg.sigma_schedule[1], atol=1e-6)

@@ -40,16 +40,18 @@ def main() -> None:
     )
     batch_np = data.next_batch()
 
-    # Warmup / compile
+    # Warmup / compile.  Note: float() forces a device sync each step —
+    # block_until_ready alone does not reliably synchronize on the axon
+    # tunnel, so throughput is measured with an explicit scalar fetch.
     for _ in range(3):
         losses = learner.train_step(batch_np)
-    jax.block_until_ready(losses["total_loss"])
+    float(losses["total_loss"])
 
-    n_steps = 20
+    n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         losses = learner.train_step(batch_np)
-    jax.block_until_ready(losses["total_loss"])
+        float(losses["total_loss"])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = cfg.batch_size * n_steps / dt

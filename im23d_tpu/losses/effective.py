@@ -21,12 +21,20 @@ import jax.numpy as jnp
 from im23d_tpu.ops.camera import world_to_camera
 from im23d_tpu.ops.quaternion import quaternion_angle_loss
 from im23d_tpu.ops.sampling import resize_bilinear
+from im23d_tpu.ops.splat_pallas import trilinear_splat_pallas
 from im23d_tpu.ops.voxel import (
     gaussian_blur_3d,
     project_silhouette,
     termination_probs,
     trilinear_splat,
 )
+
+
+def _splat(points, size, weights):
+    """Pallas MXU kernel on TPU, XLA scatter reference elsewhere."""
+    if jax.default_backend() == "tpu":
+        return trilinear_splat_pallas(points, size, weights=weights)
+    return trilinear_splat(points, size, weights=weights)
 
 
 def project_candidates(
@@ -62,7 +70,7 @@ def project_candidates(
     if scale is not None:
         sc = jnp.repeat(scale.reshape(B), C, axis=0)
 
-    vox = trilinear_splat(cam, S, weights=w)
+    vox = _splat(cam, S, w)
     smooth = gaussian_blur_3d(vox, sigma, kernel_size=kernel_size, scale=sc)
     sil = project_silhouette(termination_probs(smooth))
     return sil.reshape(B, C, S, S)

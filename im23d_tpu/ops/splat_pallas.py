@@ -1,0 +1,249 @@
+"""Pallas TPU kernel for trilinear point splatting (the framework's hottest op).
+
+Why not scatter: XLA TPU lowers scatter-add to a serialized per-update loop
+(~27 ns/update); at chairs scale (480 clouds x 8000 points x 8 corners) the
+forward alone costs ~400 ms and the backward ~800 ms.
+
+TPU-native formulation: the trilinear weight of point n along axis y for
+*every* grid slot i is the hat function ``hy[n, i] = relu(1 - |gy_n - i|)``
+(nonzero exactly at floor/ceil with weights 1-frac / frac).  The voxel grid
+is then the rank-N factorized 3-tensor
+
+    V[z, y, x] = sum_n c_n * hz[n, z] * hy[n, y] * hx[n, x]
+
+computed per z-slab as a dense MXU matmul ``(Wy * hz_row) @ Wx^T`` — no
+scatters at all.  Weight matrices are built once per cloud on the VPU in
+layout (S, N) (points on the 128-lane axis), matmuls run in bf16 with f32
+accumulation.  The backward pass is two matmuls per z-slab
+(``M_z = G_z @ Wx^T``, ``P_z = G_z^T @ Wy``) plus hat-derivative reductions,
+implemented as a second kernel under ``jax.custom_vjp``.
+
+Parity: same semantics as ``ops.voxel.trilinear_splat`` (the XLA reference
+implementation, kept for CPU tests), which itself implements the intent of
+the reference ``TrilinearInterpolation`` (``code/utils/trilinear_interpolation.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _hat(diff: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(0.0, 1.0 - jnp.abs(diff))
+
+
+def _hat_grad(diff: jnp.ndarray) -> jnp.ndarray:
+    # d/dg relu(1 - |g - i|) = -sign(g - i) on |g - i| < 1 (0 elsewhere)
+    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+
+
+def _precision(dot_dtype):
+    # f32-parity mode must not fall back to the TPU's default bf16 passes
+    return None if dot_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+
+def _fwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, out_ref, *, size: int,
+                dot_dtype, z_chunk: int):
+    S = size
+    N = gz_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
+
+    wy = (_hat(iota - gy_ref[0, 0][None, :])).astype(dot_dtype)  # (S, N)
+    wx_t = (_hat(iota - gx_ref[0, 0][None, :])).astype(dot_dtype)
+    gz = gz_ref[0, 0][None, :]
+    c = c_ref[0, 0][None, :]
+
+    def body(zc, _):
+        z0 = zc * z_chunk
+        # hat weights of the z_chunk slabs: (z_chunk, 1, N)
+        dz = gz - (
+            jax.lax.broadcasted_iota(jnp.int32, (z_chunk, 1, N), 0).astype(
+                jnp.float32
+            )
+            + z0.astype(jnp.float32)
+        )
+        hz = (_hat(dz) * c).astype(dot_dtype)
+        a = (wy[None] * hz).reshape(z_chunk * S, N)  # (z_chunk*S, N)
+        slab = jax.lax.dot_general(
+            a, wx_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dot_dtype),
+        )  # (z_chunk*S, S)
+        out_ref[0, pl.ds(z0, z_chunk)] = slab.reshape(z_chunk, S, S)
+        return 0
+
+    jax.lax.fori_loop(0, S // z_chunk, body, 0)
+
+
+def _bwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, g_ref,
+                dgz_ref, dgy_ref, dgx_ref, dc_ref, *, size: int, dot_dtype):
+    S = size
+    N = gz_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
+
+    dy = iota - gy_ref[0, 0][None, :]
+    dx = iota - gx_ref[0, 0][None, :]
+    wy = _hat(dy)
+    wx = _hat(dx)
+    wyp = _hat_grad(dy)
+    wxp = _hat_grad(dx)
+    wy_d = wy.astype(dot_dtype)
+    wx_d = wx.astype(dot_dtype)
+    gz = gz_ref[0, 0][None, :]
+    c = c_ref[0, 0][None, :]
+
+    def body(z, carry):
+        dgz, dgy, dgx, dc = carry
+        zf = z.astype(jnp.float32)
+        hz = _hat(gz - zf)  # (1, N)
+        hzp = _hat_grad(gz - zf)
+        g_z = g_ref[0, z].astype(dot_dtype)  # (S, S) upstream grad slab
+
+        # M_z[y, n] = sum_x G_z[y, x] * Wx[x, n]
+        m_z = jax.lax.dot_general(
+            g_z, wx_d, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dot_dtype),
+        )  # (S, N)
+        # P_z[x, n] = sum_y G_z[y, x] * Wy[y, n]
+        p_z = jax.lax.dot_general(
+            g_z, wy_d, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dot_dtype),
+        )  # (S, N)
+
+        t0 = jnp.sum(wy * m_z, axis=0, keepdims=True)   # (1, N)
+        t1 = jnp.sum(wyp * m_z, axis=0, keepdims=True)
+        t2 = jnp.sum(wxp * p_z, axis=0, keepdims=True)
+
+        # d hat/dg: hz uses diff = gz - z (direct); wy/wx use diff = iota - g,
+        # so the chain picks up a -1 for the y and x terms.
+        dgz = dgz + hzp * t0 * c
+        dgy = dgy - hz * t1 * c
+        dgx = dgx - hz * t2 * c
+        dc = dc + hz * t0
+        return dgz, dgy, dgx, dc
+
+    zero = jnp.zeros((1, N), jnp.float32)
+    dgz, dgy, dgx, dc = jax.lax.fori_loop(0, S, body, (zero, zero, zero, zero))
+    dgz_ref[0] = dgz
+    dgy_ref[0] = dgy
+    dgx_ref[0] = dgx
+    dc_ref[0] = dc
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _splat_grid(gz, gy, gx, c, size: int, dot_bf16: bool):
+    return _splat_fwd_impl(gz, gy, gx, c, size, dot_bf16)
+
+
+def _splat_fwd_impl(gz, gy, gx, c, size: int, dot_bf16: bool):
+    B, N = gz.shape
+    S = size
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    z_chunk = 4 if S % 4 == 0 else 1
+    kernel = functools.partial(
+        _fwd_kernel, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk
+    )
+    vec = lambda x: x.reshape(B, 1, N)
+    vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vec_spec] * 4,
+        out_specs=pl.BlockSpec(
+            (1, S, S, S), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, S, S), jnp.float32),
+        interpret=_use_interpret(),
+    )(vec(gz), vec(gy), vec(gx), vec(c))
+
+
+def _splat_grid_fwd(gz, gy, gx, c, size: int, dot_bf16: bool):
+    out = _splat_fwd_impl(gz, gy, gx, c, size, dot_bf16)
+    return out, (gz, gy, gx, c)
+
+
+def _splat_grid_bwd(size: int, dot_bf16: bool, residuals, g):
+    gz, gy, gx, c = residuals
+    B, N = gz.shape
+    S = size
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    kernel = functools.partial(_bwd_kernel, size=S, dot_dtype=dot_dtype)
+    vec = lambda x: x.reshape(B, 1, N)
+    vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dgz, dgy, dgx, dc = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vec_spec, vec_spec, vec_spec, vec_spec,
+                  pl.BlockSpec((1, S, S, S), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[vec_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, N), jnp.float32)] * 4,
+        interpret=_use_interpret(),
+    )(vec(gz), vec(gy), vec(gx), vec(c), g)
+    return (dgz.reshape(B, N), dgy.reshape(B, N), dgx.reshape(B, N),
+            dc.reshape(B, N))
+
+
+_splat_grid.defvjp(_splat_grid_fwd, _splat_grid_bwd)
+
+
+def trilinear_splat_pallas(
+    points: jnp.ndarray,
+    size: int,
+    weights: jnp.ndarray | None = None,
+    border_eps: float = 1e-6,
+    dot_bf16: bool = True,
+) -> jnp.ndarray:
+    """Drop-in replacement for ``ops.voxel.trilinear_splat`` (MXU kernel).
+
+    Args/semantics identical: (B, N, 3) points in [-0.5, 0.5] (z, y, x) order,
+    optional (B, N) weights, returns (B, S, S, S) clamped to [0, 1].
+    ``dot_bf16`` runs the slab matmuls in bf16 with f32 accumulation
+    (~0.2% max weight error; set False for f32 parity).
+    """
+    B, N, _ = points.shape
+    S = int(size)
+
+    grid = (S - 1) * (points + 0.5)  # (B, N, 3)
+    in_bounds = jnp.all(
+        (points > -0.5 + border_eps) & (points < 0.5 - border_eps), axis=-1
+    )
+    c = in_bounds.astype(points.dtype)
+    if weights is not None:
+        c = c * weights
+
+    n_pad = _round_up(max(N, _LANES), _LANES)
+    if n_pad != N:
+        pad = [(0, 0), (0, n_pad - N)]
+        grid = jnp.pad(grid, pad + [(0, 0)])
+        # padded points get weight 0 and a safely in-range coordinate
+        c = jnp.pad(c, pad)
+
+    gz = grid[..., 0]
+    gy = grid[..., 1]
+    gx = grid[..., 2]
+    # Culled/padded points may carry wild coordinates; pin them to 0 so the
+    # hat windows stay benign (their weight c is already 0).
+    safe = (c > 0).astype(grid.dtype)
+    gz, gy, gx = gz * safe, gy * safe, gx * safe
+
+    vox = _splat_grid(gz, gy, gx, c, S, dot_bf16)
+    return jnp.clip(vox, 0.0, 1.0)

@@ -1,0 +1,176 @@
+"""Differentiable triangle rasterization (DIB-R-style) in pure XLA.
+
+Replaces the reference's external Kaolin CUDA ``linear_rasterizer``
+(``code/rendering/renderer.py:60-67``) — the only native kernel the reference
+depends on.  Semantics:
+
+* Hard pass: per pixel, the front-most (max interpolated z) front-facing
+  covering face wins; its per-corner attributes are barycentrically
+  interpolated (differentiable w.r.t. vertices through the barycentrics;
+  face selection is a stop-gradient, as in DIB-R).
+* Soft pass: silhouette probability ``1 - prod_f (1 - exp(-d_f^2 / sigma))``
+  where ``d_f`` is the pixel's squared 2D distance to face f (0 inside) —
+  DIB-R's coverage term, giving occupancy gradients to vertices.
+
+Implementation: brute-force edge functions, ``lax.scan`` over face chunks so
+peak memory is (B, chunk, H, W) rather than (B, F, H, W).  Correctness-first
+XLA version (SURVEY.md §7.4 #1); the tiled Pallas variant for 512²+ and
+large-batch 256² training is the planned upgrade.
+
+Screen convention: vertex x, y in NDC [-1, 1], y up (image row 0 is
+y = +1); larger z is closer to the camera.  Front faces wind CCW in screen
+space.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pixel_grid(height: int, width: int, dtype=jnp.float32):
+    ys = 1.0 - (jnp.arange(height, dtype=dtype) + 0.5) * (2.0 / height)
+    xs = (jnp.arange(width, dtype=dtype) + 0.5) * (2.0 / width) - 1.0
+    px, py = jnp.meshgrid(xs, ys)  # (H, W)
+    return px, py
+
+
+def _edge(ax, ay, bx, by, px, py):
+    """Signed area of (a, b, p): positive if p is left of a->b (CCW)."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _point_segment_dist2(px, py, ax, ay, bx, by):
+    """Squared distance from pixel p to segment a-b (broadcast shapes)."""
+    abx, aby = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    denom = abx * abx + aby * aby
+    t = jnp.clip((apx * abx + apy * aby) / jnp.maximum(denom, 1e-12), 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return dx * dx + dy * dy
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "face_chunk"))
+def rasterize(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    attrs: jnp.ndarray,
+    height: int,
+    width: int,
+    sigma: float = 1e-4,
+    face_chunk: int = 32,
+):
+    """Rasterize meshes to interpolated attributes + soft coverage.
+
+    Args:
+      verts: (B, V, 3) NDC vertices (x, y in [-1, 1], z depth, max = closest).
+      faces: (F, 3) int vertex indices.
+      attrs: (B, F, 3, A) per-face per-corner attributes to interpolate.
+      sigma: softness of the coverage term (DIB-R delta).
+
+    Returns:
+      feat: (B, H, W, A) hard-interpolated attributes (0 where no face).
+      soft: (B, H, W, 1) soft silhouette probability.
+    """
+    B, V, _ = verts.shape
+    F = faces.shape[0]
+    A = attrs.shape[-1]
+    dt = verts.dtype
+    px, py = _pixel_grid(height, width, dt)  # (H, W)
+
+    n_chunks = -(-F // face_chunk)
+    F_pad = n_chunks * face_chunk
+    if F_pad != F:
+        faces_p = jnp.concatenate(
+            [faces, jnp.zeros((F_pad - F, 3), faces.dtype)], axis=0
+        )
+        attrs_p = jnp.concatenate(
+            [attrs, jnp.zeros((B, F_pad - F, 3, A), attrs.dtype)], axis=1
+        )
+    else:
+        faces_p, attrs_p = faces, attrs
+
+    fv = verts[:, faces_p]  # (B, F_pad, 3 corners, 3 xyz)
+    # scan inputs stacked on a leading chunk axis
+    fv_c = fv.reshape(B, n_chunks, face_chunk, 3, 3).transpose(1, 0, 2, 3, 4)
+    at_c = attrs_p.reshape(B, n_chunks, face_chunk, 3, A).transpose(1, 0, 2, 3, 4)
+
+    neg_big = jnp.asarray(-1e9, dt)
+
+    def chunk_step(carry, inputs):
+        best_z, best_feat, log_miss = carry
+        cfv, cattr = inputs  # (B, C, 3, 3), (B, C, 3, A)
+        x = cfv[..., 0][..., None, None]  # (B, C, 3, 1, 1)
+        y = cfv[..., 1][..., None, None]
+        zc = cfv[..., 2]  # (B, C, 3)
+        x0, x1, x2 = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (B, C, 1, 1)
+        y0, y1, y2 = y[:, :, 0], y[:, :, 1], y[:, :, 2]
+
+        area = _edge(x0, y0, x1, y1, x2, y2)  # (B, C, 1, 1)
+        front = area > 1e-9
+
+        e01 = _edge(x0, y0, x1, y1, px, py)  # (B, C, H, W)
+        e12 = _edge(x1, y1, x2, y2, px, py)
+        e20 = _edge(x2, y2, x0, y0, px, py)
+        inv_area = 1.0 / jnp.where(front, area, 1.0)
+        w0 = e12 * inv_area
+        w1 = e20 * inv_area
+        w2 = e01 * inv_area
+
+        inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0) & front
+        z = (
+            w0 * zc[:, :, 0, None, None]
+            + w1 * zc[:, :, 1, None, None]
+            + w2 * zc[:, :, 2, None, None]
+        )
+        z_masked = jnp.where(inside, z, neg_big)
+
+        # chunk-local winner per pixel
+        idx = jax.lax.stop_gradient(jnp.argmax(z_masked, axis=1))  # (B, H, W)
+        take_pix = lambda t: jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+        cz = take_pix(z_masked)  # (B, H, W)
+        bw0, bw1, bw2 = take_pix(w0), take_pix(w1), take_pix(w2)
+        # gather the winning face's corner attributes: (B, H*W, 3, A)
+        ga = jax.vmap(lambda ca, ix: ca[ix])(cattr, idx.reshape(B, -1))
+        ga = ga.reshape(B, height, width, 3, A)
+        cfeat = (
+            bw0[..., None] * ga[..., 0, :]
+            + bw1[..., None] * ga[..., 1, :]
+            + bw2[..., None] * ga[..., 2, :]
+        )  # (B, H, W, A)
+
+        better = cz > best_z
+        best_feat = jnp.where(better[..., None], cfeat, best_feat)
+        best_z = jnp.where(better, cz, best_z)
+
+        # soft coverage: squared distance to the triangle (0 inside)
+        d2 = jnp.minimum(
+            jnp.minimum(
+                _point_segment_dist2(px, py, x0, y0, x1, y1),
+                _point_segment_dist2(px, py, x1, y1, x2, y2),
+            ),
+            _point_segment_dist2(px, py, x2, y2, x0, y0),
+        )
+        d2 = jnp.where(inside, 0.0, d2)
+        cov = jnp.where(front, jnp.exp(-d2 / sigma), 0.0)
+        # log(1 - cov), clamped for the fully-covered case
+        log_miss = log_miss + jnp.sum(
+            jnp.log1p(-jnp.minimum(cov, 1.0 - 1e-7)), axis=1
+        )
+        return (best_z, best_feat, log_miss), None
+
+    init = (
+        jnp.full((B, height, width), neg_big, dt),
+        jnp.zeros((B, height, width, A), dt),
+        jnp.zeros((B, height, width), dt),
+    )
+    (best_z, best_feat, log_miss), _ = jax.lax.scan(
+        chunk_step, init, (fv_c, at_c)
+    )
+    covered = best_z > neg_big * 0.5
+    feat = jnp.where(covered[..., None], best_feat, 0.0)
+    soft = (1.0 - jnp.exp(log_miss))[..., None]
+    return feat, soft

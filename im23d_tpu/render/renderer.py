@@ -1,0 +1,98 @@
+"""Differentiable mesh renderer: ortho projection + rasterizer + UV shading.
+
+Functional equivalent of the reference ``Renderer`` + ``fragmentshader``
+(``code/rendering/renderer.py:30-77``, ``code/rendering/fragment_shader.py``):
+orthographic projection of NDC vertices, DIB-R-style rasterization of
+(u, v, mask) face attributes, then bilinear texture lookup with the same
+[0,1] -> [-1,1] + y-flip coordinate mapping the reference pins.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from im23d_tpu.ops.sampling import grid_sample_bilinear
+from im23d_tpu.render.rasterizer import rasterize
+
+
+def fragment_shader(
+    texcoords: jnp.ndarray,
+    texture: jnp.ndarray,
+    mask: jnp.ndarray,
+    background: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sample the texture at rasterized UVs and composite with the mask.
+
+    Parity: ``fragmentshader`` (``fragment_shader.py:6-37``); texture is NHWC.
+    """
+    grid = texcoords * 2.0 - 1.0
+    grid = grid * jnp.asarray([1.0, -1.0], grid.dtype)  # flip v
+    color = grid_sample_bilinear(texture, grid)  # (B, H, W, C)
+    if background is None:
+        return color * mask
+    return background + (color - background) * mask
+
+
+def compute_face_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    a = verts[:, faces[:, 0]]
+    b = verts[:, faces[:, 1]]
+    c = verts[:, faces[:, 2]]
+    n = jnp.cross(b - a, c - a)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def render_mesh(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    uvs: jnp.ndarray,
+    face_uvs: jnp.ndarray,
+    texture: jnp.ndarray,
+    height: int,
+    width: int,
+    background: jnp.ndarray | None = None,
+    return_hardmask: bool = False,
+    sigma: float = 1e-4,
+):
+    """Render textured meshes orthographically.
+
+    Args:
+      verts: (B, V, 3) NDC vertices (x right, y up, larger z closer).
+      faces: (F, 3) vertex indices; uvs: (B, T, 2); face_uvs: (F, 3).
+      texture: (B, Ht, Wt, C) NHWC texture (already boundary-adjusted).
+
+    Returns:
+      (image (B, H, W, C), alpha (B, H, W, 1), face_normals (B, F, 3)).
+    """
+    B = verts.shape[0]
+    F = faces.shape[0]
+    uv_corners = uvs[:, face_uvs]  # (B, F, 3, 2)
+    mask_attr = jnp.ones((B, F, 3, 1), verts.dtype)
+    attrs = jnp.concatenate([uv_corners, mask_attr], axis=-1)  # (B, F, 3, 3)
+
+    feat, soft = rasterize(verts, faces, attrs, height, width, sigma=sigma)
+    texcoords = feat[..., :2]
+    hardmask = feat[..., 2:3]
+
+    image = fragment_shader(texcoords, texture, hardmask, background)
+    alpha = hardmask if return_hardmask else soft
+    normals = compute_face_normals(verts, faces)
+    return image, alpha, normals
+
+
+class Renderer:
+    """Stateful wrapper mirroring the reference ``Renderer(height, width)``."""
+
+    def __init__(self, height: int, width: int, sigma: float = 1e-4):
+        self.height = height
+        self.width = width
+        self.sigma = sigma
+
+    def __call__(self, verts, faces, uvs, face_uvs, texture,
+                 background=None, return_hardmask=False):
+        return render_mesh(
+            verts, faces, uvs, face_uvs, texture,
+            self.height, self.width,
+            background=background,
+            return_hardmask=return_hardmask,
+            sigma=self.sigma,
+        )

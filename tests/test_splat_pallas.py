@@ -1,0 +1,94 @@
+"""Pallas splat kernel vs the XLA reference implementation (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from im23d_tpu.ops.splat_pallas import trilinear_splat_pallas
+from im23d_tpu.ops.voxel import trilinear_splat
+
+
+def _rand_points(rng, B, N, spread=0.8):
+    return (rng.rand(B, N, 3).astype(np.float32) - 0.5) * spread
+
+
+def test_forward_matches_xla_reference():
+    rng = np.random.RandomState(0)
+    pts = _rand_points(rng, 3, 200)
+    S = 16
+    ref = np.asarray(trilinear_splat(jnp.array(pts), S))
+    ours = np.asarray(trilinear_splat_pallas(jnp.array(pts), S, dot_bf16=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_forward_with_weights_and_oob():
+    rng = np.random.RandomState(1)
+    pts = _rand_points(rng, 2, 100, spread=1.4)  # many out of bounds
+    w = (rng.rand(2, 100) > 0.5).astype(np.float32)
+    S = 8
+    ref = np.asarray(trilinear_splat(jnp.array(pts), S, weights=jnp.array(w)))
+    ours = np.asarray(
+        trilinear_splat_pallas(jnp.array(pts), S, weights=jnp.array(w), dot_bf16=False)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_forward_nonpadded_vs_padded_n():
+    # N not a multiple of 128 exercises the padding path
+    rng = np.random.RandomState(2)
+    pts = _rand_points(rng, 2, 133)
+    S = 8
+    ref = np.asarray(trilinear_splat(jnp.array(pts), S))
+    ours = np.asarray(trilinear_splat_pallas(jnp.array(pts), S, dot_bf16=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_gradients_match_xla_reference():
+    rng = np.random.RandomState(3)
+    pts = _rand_points(rng, 2, 64)
+    w = rng.rand(2, 64).astype(np.float32)
+    S = 8
+    tgt = jnp.asarray(rng.rand(2, S, S, S).astype(np.float32))
+
+    def loss_ref(p, w):
+        return jnp.sum((trilinear_splat(p, S, weights=w) - tgt) ** 2)
+
+    def loss_ours(p, w):
+        return jnp.sum(
+            (trilinear_splat_pallas(p, S, weights=w, dot_bf16=False) - tgt) ** 2
+        )
+
+    gp_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.array(pts), jnp.array(w))
+    gp_ours, gw_ours = jax.grad(loss_ours, argnums=(0, 1))(jnp.array(pts), jnp.array(w))
+    np.testing.assert_allclose(np.asarray(gp_ours), np.asarray(gp_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_ours), np.asarray(gw_ref), atol=2e-4)
+
+
+def test_gradient_finite_difference():
+    rng = np.random.RandomState(4)
+    pts = _rand_points(rng, 1, 8)
+    S = 8
+    tgt = jnp.asarray(rng.rand(1, S, S, S).astype(np.float32))
+
+    def loss(p):
+        return jnp.sum((trilinear_splat_pallas(p, S, dot_bf16=False) - tgt) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.array(pts)))
+    eps = 1e-3
+    for n in range(3):
+        for d in range(3):
+            pp = pts.copy()
+            pp[0, n, d] += eps
+            pm = pts.copy()
+            pm[0, n, d] -= eps
+            fd = (float(loss(jnp.array(pp))) - float(loss(jnp.array(pm)))) / (2 * eps)
+            np.testing.assert_allclose(g[0, n, d], fd, atol=2e-2, rtol=5e-2)
+
+
+def test_bf16_mode_close_to_f32():
+    rng = np.random.RandomState(5)
+    pts = _rand_points(rng, 2, 256)
+    S = 16
+    f32 = np.asarray(trilinear_splat_pallas(jnp.array(pts), S, dot_bf16=False))
+    bf16 = np.asarray(trilinear_splat_pallas(jnp.array(pts), S, dot_bf16=True))
+    assert np.abs(f32 - bf16).max() < 2e-2

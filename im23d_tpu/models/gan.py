@@ -1,0 +1,382 @@
+"""Convolutional UV-space texture+mesh GAN (generator + multi-scale critics).
+
+Parity: reference ``code/models/gan.py`` (Generator, ResBlockUp,
+ConditionalBatchNorm2d, TextureDiscriminator, MeshDiscriminator,
+MultiScaleDiscriminator, SpatialAttention, positional_encoding), NHWC flax.
+
+Distributed-norm note: the reference's ``--norm_g syncbatch`` exists because
+``nn.DataParallel`` computes batch-norm statistics per GPU; under SPMD jit
+with the batch axis sharded, plain ``nn.BatchNorm`` already reduces over the
+GLOBAL batch (XLA inserts the cross-chip collective), so ``syncbatch`` and
+``batch`` are the same thing here (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from im23d_tpu.ops.sampling import adjust_poles, circpad, symmetrize_texture
+from im23d_tpu.models.reconstruction import (
+    circular_pad_w,
+    replicate_pad_w,
+    upsample_nearest,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    """Model-relevant subset of the reference argparse flags
+    (``code/main.py:37-67``), same defaults."""
+
+    texture_resolution: int = 512
+    mesh_resolution: int = 32
+    symmetric_g: bool = True
+    texture_only: bool = False
+    conditional_class: bool = False
+    conditional_color: bool = False
+    conditional_text: bool = False
+    norm_g: str = "batch"  # syncbatch == batch under SPMD
+    norm_d: str = "none"
+    latent_dim: int = 64
+    num_discriminators: int = 2
+    mask_output: bool = True
+    n_classes: Sequence[int] = (200,)
+    text_embedding_dim: int = 256
+
+
+def positional_encoding(ny: int, nx: int) -> np.ndarray:
+    """Sine-cosine embedding wrapping around x (reference ``gan.py:9-20``),
+    returned NHWC (ny, nx', 4)."""
+    symmetric = nx == ny // 2
+    nx = ny
+    ty = np.linspace(0, np.pi, ny, endpoint=False)
+    tx = np.linspace(-np.pi, np.pi, nx, endpoint=False)
+    Y, X = np.meshgrid(tx, ty)
+    result = np.stack([np.cos(X), np.sin(X), np.cos(Y), np.sin(Y)], axis=-1)
+    if symmetric:
+        q = result.shape[1] // 4
+        return result[:, q:-q].astype(np.float32)
+    return result.astype(np.float32)
+
+
+def leaky_relu(x):
+    return nn.leaky_relu(x, 0.2)
+
+
+def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+def _sn(layer: nn.Module) -> nn.Module:
+    return nn.SpectralNorm(layer)
+
+
+class ConditionalNorm(nn.Module):
+    """Norm (no affine) + per-sample gamma/beta from the latent
+    (reference ``ConditionalBatchNorm2d``, ``gan.py:264-286``)."""
+
+    norm: str  # batch | syncbatch | instance | none
+
+    @nn.compact
+    def __call__(self, x, z, train: bool = True):
+        ch = x.shape[-1]
+        if self.norm in ("batch", "syncbatch"):
+            h = nn.BatchNorm(
+                use_running_average=not train, use_bias=False, use_scale=False
+            )(x)
+        elif self.norm == "instance":
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.var(x, axis=(1, 2), keepdims=True)
+            h = (x - mean) / jnp.sqrt(var + 1e-5)
+        elif self.norm == "none":
+            h = x
+        else:
+            raise ValueError(self.norm)
+        gamma = nn.Dense(ch, name="fc_gamma")(z)[:, None, None, :]
+        beta = nn.Dense(ch, name="fc_beta")(z)[:, None, None, :]
+        return h * (1.0 + gamma) + beta
+
+
+class ResBlockUp(nn.Module):
+    """Spectral-norm 3x3 conv block with conditional norm
+    (reference ``gan.py:288-312``; no upsampling inside — callers upsample)."""
+
+    ch_out: int
+    norm: str
+    pad_fn: Callable
+
+    @nn.compact
+    def __call__(self, x, z, train: bool = True):
+        ch_in = x.shape[-1]
+        ch_mid = min(ch_in, self.ch_out)
+        if ch_in != self.ch_out:
+            shortcut = _sn(nn.Conv(self.ch_out, (1, 1), use_bias=False))(
+                x, update_stats=train
+            )
+        else:
+            shortcut = x
+        h = _sn(
+            nn.Conv(ch_mid, (3, 3), padding=((1, 1), (0, 0)), use_bias=False)
+        )(self.pad_fn(x, 1), update_stats=train)
+        h = leaky_relu(ConditionalNorm(self.norm, name="norm1")(h, z, train))
+        h = _sn(
+            nn.Conv(self.ch_out, (3, 3), padding=((1, 1), (0, 0)), use_bias=False)
+        )(self.pad_fn(h, 1), update_stats=train)
+        h = leaky_relu(ConditionalNorm(self.norm, name="norm2")(h, z, train))
+        return h + shortcut
+
+
+class SpatialAttention(nn.Module):
+    """AttnGAN-style word/region attention (reference ``gan.py:433-480``)."""
+
+    @nn.compact
+    def __call__(self, x, context, mask=None):
+        # x: (B, H, W, C); context: (B, L, Cd)
+        B, H, W, C = x.shape
+        ctx = nn.Conv(C, (1, 1), use_bias=False, name="conv_context")(
+            context[:, :, None, :]
+        )[:, :, 0, :]  # (B, L, C)
+        q = x.reshape(B, H * W, C)
+        attn = jnp.einsum("bqc,blc->bql", q, ctx)
+        if mask is not None:
+            attn = attn - 1e4 * mask[:, None, :].astype(attn.dtype)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bql,blc->bqc", attn, ctx).reshape(B, H, W, C)
+        attn_map = attn.reshape(B, H, W, -1)
+        return out, attn_map
+
+
+class Generator(nn.Module):
+    """z (+class embedding) -> (texture in [-1,1], mesh displacement map).
+
+    Parity: reference ``Generator`` (``gan.py:314-426``): 8x8(x512) base
+    (width halved when symmetric), ResBlockUp chain with upsampling pattern
+    by texture resolution, zero-init mesh conv + adjust_poles, symmetrize.
+    """
+
+    cfg: GANConfig
+    mesh_head: bool = True
+
+    @nn.compact
+    def __call__(self, z, c=None, caption=None, train: bool = True,
+                 return_attention: bool = False):
+        cfg = self.cfg
+        emb_dim = cfg.latent_dim
+        pad = replicate_pad_w if cfg.symmetric_g else circular_pad_w
+        height, width = 8, (4 if cfg.symmetric_g else 8)
+
+        if cfg.conditional_class:
+            assert c is not None
+            if cfg.conditional_color:
+                e1 = nn.Embed(cfg.n_classes[0], emb_dim // 2, name="emb_class")(c[:, 0])
+                e2 = nn.Embed(cfg.n_classes[1], emb_dim // 2, name="emb_color")(c[:, 1])
+                z = jnp.concatenate([z, e1, e2], axis=1)
+            else:
+                e1 = nn.Embed(cfg.n_classes[0], emb_dim, name="emb_class")(c[:, 0])
+                z = jnp.concatenate([z, e1], axis=1)
+
+        x = nn.Dense(height * width * 512, name="fc")(z)
+        x = x.reshape(x.shape[0], height, width, 512)
+
+        blk = lambda ch, name: ResBlockUp(ch, cfg.norm_g, pad, name=name)
+        x = upsample_nearest(blk(512, "blk1")(x, z, train))   # 8 -> 16
+        x = blk(256, "blk2")(x, z, train)                     # 16
+
+        attn_map = None
+        if cfg.conditional_text and caption is not None:
+            att_out, attn_map = SpatialAttention(name="att")(x, *caption)
+            x = x + att_out
+
+        x = upsample_nearest(x)                               # 16 -> 32
+
+        x_tex = x
+        if cfg.texture_resolution >= 256:
+            x_tex = upsample_nearest(blk(256, "blk3a")(x_tex, z, train))
+        if cfg.texture_resolution >= 512:
+            x_tex = upsample_nearest(blk(256, "blk3b")(x_tex, z, train))
+        if cfg.texture_resolution >= 1024:
+            x_tex = upsample_nearest(blk(256, "blk3c")(x_tex, z, train))
+        x_tex = upsample_nearest(blk(128, "blk4")(x_tex, z, train))
+        x_tex = upsample_nearest(blk(128, "blk5")(x_tex, z, train))
+        x_tex = leaky_relu(blk(64, "blk6")(x_tex, z, train))
+        x_tex = jnp.tanh(
+            nn.Conv(3, (5, 5), padding=((2, 2), (0, 0)), name="conv_final")(
+                pad(x_tex, 2)
+            )
+        )
+
+        x_mesh = None
+        if self.mesh_head:
+            x_mesh = leaky_relu(blk(64, "blk3_mesh")(x, z, train))
+            x_mesh = nn.Conv(
+                3, (5, 5), padding=((2, 2), (0, 0)),
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                name="conv_mesh",
+            )(pad(x_mesh, 2))
+            x_mesh = adjust_poles(x_mesh)
+
+        if cfg.symmetric_g:
+            x_tex = symmetrize_texture(x_tex)
+            if x_mesh is not None:
+                x_mesh = symmetrize_texture(x_mesh)
+            if attn_map is not None:
+                attn_map = symmetrize_texture(attn_map)
+
+        if return_attention:
+            return x_tex, x_mesh, attn_map
+        return x_tex, x_mesh
+
+
+def _norm_d_factory(cfg: GANConfig):
+    """norm_d='instance' -> affine instance norm (GroupNorm with one channel
+    per group, matching torch InstanceNorm2d(affine=True)); 'none' -> id."""
+    if cfg.norm_d == "instance":
+        return lambda name: (
+            lambda h, train: nn.GroupNorm(group_size=1, name=name)(h)
+        )
+    if cfg.norm_d == "none":
+        return lambda name: (lambda h, train: h)
+    raise ValueError(cfg.norm_d)
+
+
+class TextureDiscriminator(nn.Module):
+    """Full-resolution UV texture critic (reference ``gan.py:123-233``)."""
+
+    cfg: GANConfig
+    downsample: int = 1
+
+    @nn.compact
+    def __call__(self, x, c=None, caption=None, train: bool = True):
+        cfg = self.cfg
+        if self.downsample > 1:
+            x = avg_pool(x, self.downsample)
+        stride_first = (
+            (self.downsample == 1 and cfg.texture_resolution >= 512)
+            or cfg.texture_resolution >= 1024
+            or cfg.conditional_text
+        )
+        mask = None
+        if cfg.mask_output:
+            ds_factor = 16 if stride_first else 8
+            mask = jax.lax.stop_gradient(avg_pool(x[..., 3:4], ds_factor))
+        pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:]))], axis=-1
+        )
+
+        bias = cfg.norm_d != "instance"
+        norm = _norm_d_factory(cfg)
+
+        if stride_first:
+            h = _sn(nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0))))(
+                circpad(x, 1), update_stats=train
+            )
+        else:
+            h = _sn(nn.Conv(64, (5, 5), padding=((2, 2), (0, 0))))(
+                circpad(x, 2), update_stats=train
+            )
+        h = leaky_relu(h)
+        h = _sn(nn.Conv(128, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
+                        use_bias=bias))(circpad(h, 1), update_stats=train)
+        h = leaky_relu(norm("bn2")(h, train))
+        h = _sn(nn.Conv(256, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
+                        use_bias=bias))(circpad(h, 1), update_stats=train)
+        h = leaky_relu(norm("bn3")(h, train))
+        h = _sn(nn.Conv(512, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
+                        use_bias=bias))(circpad(h, 1), update_stats=train)
+        h = leaky_relu(norm("bn4")(h, train))
+        y = _sn(nn.Conv(1, (5, 5), padding=((2, 2), (0, 0))))(
+            circpad(h, 2), update_stats=train
+        )
+
+        if cfg.conditional_class:
+            emb = nn.Embed(cfg.n_classes[0], 512, name="projector")(c[:, 0])
+            if cfg.conditional_color:
+                emb = emb + nn.Embed(cfg.n_classes[1], 512, name="projector_col1")(c[:, 1])
+            y = y + jnp.sum(h * emb[:, None, None, :], axis=-1, keepdims=True)
+        elif cfg.conditional_text and caption is not None:
+            att_out, _ = SpatialAttention(name="att")(h, *caption)
+            y = y + jnp.sum(h * att_out, axis=-1, keepdims=True)
+        return y, mask
+
+
+class MeshDiscriminator(nn.Module):
+    """Mesh-resolution critic over (pooled texture, mesh map)
+    (reference ``gan.py:23-121``)."""
+
+    cfg: GANConfig
+
+    @nn.compact
+    def __call__(self, texture, mesh_map, c=None, caption=None, train: bool = True):
+        cfg = self.cfg
+        x = avg_pool(texture, texture.shape[1] // mesh_map.shape[1])
+        x = jnp.concatenate([x, mesh_map], axis=-1)
+        mask = None
+        if cfg.mask_output:
+            mask = jax.lax.stop_gradient(avg_pool(x[..., 3:4], 4))
+        pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:]))], axis=-1
+        )
+
+        bias = cfg.norm_d != "instance"
+        norm = _norm_d_factory(cfg)
+
+        h = leaky_relu(
+            _sn(nn.Conv(64, (5, 5), padding=((2, 2), (0, 0))))(
+                circpad(x, 2), update_stats=train
+            )
+        )
+        h = _sn(nn.Conv(128, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
+                        use_bias=bias))(circpad(h, 1), update_stats=train)
+        h = leaky_relu(norm("bn2")(h, train))
+        h = _sn(nn.Conv(256, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
+                        use_bias=bias))(circpad(h, 1), update_stats=train)
+        h = leaky_relu(norm("bn3")(h, train))
+        y = _sn(nn.Conv(1, (5, 5), padding=((2, 2), (0, 0))))(
+            circpad(h, 2), update_stats=train
+        )
+
+        if cfg.conditional_class:
+            emb = nn.Embed(cfg.n_classes[0], 256, name="projector")(c[:, 0])
+            if cfg.conditional_color:
+                emb = emb + nn.Embed(cfg.n_classes[1], 256, name="projector_col1")(c[:, 1])
+            y = y + jnp.sum(h * emb[:, None, None, :], axis=-1, keepdims=True)
+        elif cfg.conditional_text and caption is not None:
+            att_out, _ = SpatialAttention(name="att")(h, *caption)
+            y = y + jnp.sum(h * att_out, axis=-1, keepdims=True)
+        return y, mask
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """d1 = full texture, d2 = mesh (or tex/2 when texture_only),
+    optional d3 = tex/4 (reference ``gan.py:235-260``)."""
+
+    cfg: GANConfig
+
+    @nn.compact
+    def __call__(self, x, mesh_map=None, c=None, caption=None, train: bool = True):
+        cfg = self.cfg
+        outs, masks = [], []
+        y1, m1 = TextureDiscriminator(cfg, 1, name="d1")(x, c, caption, train)
+        outs.append(y1)
+        masks.append(m1)
+        if not cfg.texture_only:
+            y2, m2 = MeshDiscriminator(cfg, name="d2")(x, mesh_map, c, caption, train)
+        else:
+            y2, m2 = TextureDiscriminator(cfg, 2, name="d2")(x, c, caption, train)
+        outs.append(y2)
+        masks.append(m2)
+        if cfg.num_discriminators == 3:
+            y3, m3 = TextureDiscriminator(cfg, 4, name="d3")(x, c, caption, train)
+            outs.append(y3)
+            masks.append(m3)
+        elif cfg.num_discriminators != 2:
+            raise ValueError(cfg.num_discriminators)
+        return outs, masks

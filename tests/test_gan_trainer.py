@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from im23d_tpu.geometry.mesh_template import MeshTemplate
+from im23d_tpu.models.gan import GANConfig
+from im23d_tpu.parallel.mesh import make_mesh
+from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    cfg = GANTrainConfig(
+        model=GANConfig(texture_resolution=128, mesh_resolution=32, n_classes=(5,)),
+        batch_size=2,
+    )
+    template = MeshTemplate(segments=16, rings=8)
+    return GANTrainer(cfg, template=template, mesh=make_mesh(jax.devices()[:1]))
+
+
+def fake_batch(n=2, res=128, mesh_res=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return dict(
+        texture=rng.rand(n, res, res, 3).astype(np.float32) * 2 - 1,
+        alpha=(rng.rand(n, res, res, 1) > 0.4).astype(np.float32),
+        mesh=rng.randn(n, mesh_res, mesh_res, 3).astype(np.float32) * 0.02,
+    )
+
+
+def test_gan_alternation_and_losses(trainer):
+    batch = fake_batch()
+    l0 = trainer.train_step(batch)  # it 0 -> G step
+    assert "g_loss" in l0 and np.isfinite(float(l0["g_loss"]))
+    assert np.isfinite(float(l0["flat_loss"]))
+    l1 = trainer.train_step(batch)  # it 1 -> D step
+    assert "d_fake" in l1 and np.isfinite(float(l1["d_fake"]))
+    l2 = trainer.train_step(batch)  # it 2 -> D step
+    assert "d_real" in l2
+    l3 = trainer.train_step(batch)  # it 3 -> G step again
+    assert "g_loss" in l3
+    assert trainer.total_it == 4
+
+
+def test_gan_ema_moves_toward_generator(trainer):
+    # after steps, EMA differs from raw but is finite
+    leaves = jax.tree_util.tree_leaves(trainer.g_ema["params"])
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_gan_inference(trainer):
+    z = jnp.zeros((2, trainer.mcfg.latent_dim))
+    tex, mesh = trainer.generate(z)
+    assert tex.shape == (2, 128, 128, 3)
+    assert mesh.shape == (2, 32, 32, 3)
+
+
+def test_truncation_sampling(trainer):
+    z = trainer.truncation_sample(jax.random.PRNGKey(0), 8, 1.0)
+    assert z.shape == (8, trainer.mcfg.latent_dim)
+    assert float(jnp.abs(z).max()) <= 1.0 + 1e-6
+
+
+def test_lr_factor_schedule(trainer):
+    cfg = trainer.cfg
+    trainer.epoch = 0
+    assert trainer._lr_factor() == 1.0
+    # emulate decay regime
+    object.__setattr__(trainer, "epoch", 0)
+
+
+def test_gan_checkpoint_roundtrip(trainer, tmp_path):
+    trainer.workdir = str(tmp_path)
+    trainer.save()
+    it = trainer.total_it
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.g_params)[0])
+    trainer.train_step(fake_batch(seed=3))
+    trainer.restore()
+    assert trainer.total_it == it
+    p1 = np.asarray(jax.tree_util.tree_leaves(trainer.g_params)[0])
+    np.testing.assert_array_equal(p0, p1)

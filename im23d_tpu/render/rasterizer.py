@@ -53,7 +53,9 @@ def _point_segment_dist2(px, py, ax, ay, bx, by):
     return dx * dx + dy * dy
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "face_chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "face_chunk", "cull_backfaces")
+)
 def rasterize(
     verts: jnp.ndarray,
     faces: jnp.ndarray,
@@ -62,6 +64,7 @@ def rasterize(
     width: int,
     sigma: float = 1e-4,
     face_chunk: int = 32,
+    cull_backfaces: bool = True,
 ):
     """Rasterize meshes to interpolated attributes + soft coverage.
 
@@ -110,17 +113,27 @@ def rasterize(
         y0, y1, y2 = y[:, :, 0], y[:, :, 1], y[:, :, 2]
 
         area = _edge(x0, y0, x1, y1, x2, y2)  # (B, C, 1, 1)
-        front = area > 1e-9
+        if cull_backfaces:
+            front = area > 1e-9
+        else:
+            front = jnp.abs(area) > 1e-9
 
         e01 = _edge(x0, y0, x1, y1, px, py)  # (B, C, H, W)
         e12 = _edge(x1, y1, x2, y2, px, py)
         e20 = _edge(x2, y2, x0, y0, px, py)
-        inv_area = 1.0 / jnp.where(front, area, 1.0)
+        # signed inverse area: barycentrics stay correct for CW faces when
+        # back-face culling is disabled (inverse-rendering of the UV chart)
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
         w0 = e12 * inv_area
         w1 = e20 * inv_area
         w2 = e01 * inv_area
 
-        inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0) & front
+        same_sign_pos = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
+        if cull_backfaces:
+            inside = same_sign_pos & front
+        else:
+            same_sign_neg = (e01 <= 0) & (e12 <= 0) & (e20 <= 0)
+            inside = (same_sign_pos | same_sign_neg) & front
         z = (
             w0 * zc[:, :, 0, None, None]
             + w1 * zc[:, :, 1, None, None]

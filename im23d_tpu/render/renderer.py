@@ -52,6 +52,7 @@ def render_mesh(
     background: jnp.ndarray | None = None,
     return_hardmask: bool = False,
     sigma: float = 1e-4,
+    cull_backfaces: bool = True,
 ):
     """Render textured meshes orthographically.
 
@@ -69,7 +70,8 @@ def render_mesh(
     mask_attr = jnp.ones((B, F, 3, 1), verts.dtype)
     attrs = jnp.concatenate([uv_corners, mask_attr], axis=-1)  # (B, F, 3, 3)
 
-    feat, soft = rasterize(verts, faces, attrs, height, width, sigma=sigma)
+    feat, soft = rasterize(verts, faces, attrs, height, width, sigma=sigma,
+                           cull_backfaces=cull_backfaces)
     texcoords = feat[..., :2]
     hardmask = feat[..., 2:3]
 

@@ -19,6 +19,9 @@ import time
 
 
 def main() -> None:
+    from im23d_tpu.core.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

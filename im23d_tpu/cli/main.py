@@ -1,0 +1,197 @@
+"""Texture/mesh GAN training + evaluation CLI.
+
+Flag-compatible re-design of the reference ``code/main.py`` driver (same
+flag names/defaults, ``main.py:37-86``), minus the CUDA plumbing: the
+``--gpu_ids`` DataParallel path is replaced by SPMD sharding over all local
+TPU devices automatically.  The reference's always-on ``--conditional_class``
+default bug (``main.py:44``) is fixed: it is a plain store_true flag.
+
+Examples:
+    python -m im23d_tpu.cli.main --name cub_512x512_class --conditional_class \
+        --dataset cub --batch_size 32 --epochs 600
+    python -m im23d_tpu.cli.main --name cub_pretrained --dataset cub \
+        --batch_size 16 --save_results
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # Model settings (reference main.py:39-55)
+    p.add_argument("--texture_resolution", type=int, default=512)
+    p.add_argument("--mesh_resolution", type=int, default=32)
+    p.add_argument("--symmetric_g", type=bool, default=True)
+    p.add_argument("--texture_only", action="store_true")
+    p.add_argument("--conditional_class", action="store_true")
+    p.add_argument("--conditional_color", action="store_true")
+    p.add_argument("--conditional_text", action="store_true")
+    p.add_argument("--norm_g", type=str, default="syncbatch",
+                   help="(syncbatch|batch|instance|none) — syncbatch==batch under SPMD")
+    p.add_argument("--latent_dim", type=int, default=64)
+    p.add_argument("--mesh_path", type=str, default="autodetect")
+    # Training settings (:58-69)
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--norm_d", type=str, default="none")
+    p.add_argument("--mesh_regularization", type=float, default=1e-4)
+    p.add_argument("--lr_g", type=float, default=1e-4)
+    p.add_argument("--lr_d", type=float, default=4e-4)
+    p.add_argument("--d_steps_per_g", type=int, default=2)
+    p.add_argument("--g_running_average_alpha", type=float, default=0.999)
+    p.add_argument("--lr_decay_after", type=int, default=1000)
+    p.add_argument("--loss", type=str, default="hinge")
+    p.add_argument("--mask_output", type=bool, default=True)
+    p.add_argument("--num_discriminators", type=int, default=-1)
+    # Session settings (:71-86)
+    p.add_argument("--name", "--weights", dest="name", type=str, required=True)
+    p.add_argument("--dataset", type=str, required=True, help="(p3d|cub)")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="default: cache/<dataset>")
+    p.add_argument("--checkpoint_freq", type=int, default=20)
+    p.add_argument("--save_freq", type=int, default=5)
+    p.add_argument("--evaluate_freq", type=int, default=20)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--save_results", action="store_true")
+    p.add_argument("--which_epoch", type=str, default="latest")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--truncation_sigma", type=float, default=-1)
+    p.add_argument("--inception_weights", type=str, default=None,
+                   help="path to a torchvision inception state dict (npz/pth)")
+    return p
+
+
+def load_dataset(args):
+    from im23d_tpu.data.pseudogt import CubGANDataset, Pascal3DGANDataset
+
+    cache_dir = args.cache_dir or os.path.join("cache", args.dataset)
+    common = dict(
+        texture_resolution=args.texture_resolution,
+        evaluate=args.evaluate,
+        conditional_class=args.conditional_class,
+    )
+    if args.dataset == "cub":
+        assert not args.conditional_color, "Not supported"
+        return CubGANDataset(cache_dir, **common)
+    if args.dataset == "p3d":
+        assert not args.conditional_text, "Not supported"
+        return Pascal3DGANDataset(
+            cache_dir, conditional_color=args.conditional_color, **common
+        )
+    raise ValueError("Invalid dataset")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from im23d_tpu.core.jax_setup import setup_jax
+
+    setup_jax()
+    if args.save_results:
+        args.evaluate = True
+
+    from im23d_tpu.core.metrics_logger import MetricsLogger
+    from im23d_tpu.data.pseudogt import EvalDataset, gan_batch_iterator
+    from im23d_tpu.data.cmr import batch_iterator
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.models.gan import GANConfig
+    from im23d_tpu.train.gan_eval import (
+        FIDEvaluator,
+        export_results,
+        load_precomputed_stats,
+    )
+    from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    ds = load_dataset(args)
+    if args.num_discriminators == -1:
+        args.num_discriminators = ds.suggest_num_discriminators()
+    if args.truncation_sigma < 0:
+        args.truncation_sigma = ds.suggest_truncation_sigma()
+    if args.num_discriminators >= 3:
+        assert args.texture_resolution >= 512
+
+    if args.mesh_path == "autodetect":
+        segments, rings = ds.suggest_mesh_template()
+        template = MeshTemplate(segments=segments, rings=rings)
+    else:
+        template = MeshTemplate(args.mesh_path)
+
+    mcfg = GANConfig(
+        texture_resolution=args.texture_resolution,
+        mesh_resolution=args.mesh_resolution,
+        symmetric_g=args.symmetric_g,
+        texture_only=args.texture_only,
+        conditional_class=args.conditional_class,
+        conditional_color=args.conditional_color,
+        conditional_text=args.conditional_text,
+        norm_g="batch" if args.norm_g == "syncbatch" else args.norm_g,
+        norm_d=args.norm_d,
+        latent_dim=args.latent_dim,
+        num_discriminators=args.num_discriminators,
+        mask_output=args.mask_output,
+        n_classes=tuple(getattr(ds, "n_classes", (1,))),
+    )
+    tcfg = GANTrainConfig(
+        model=mcfg, lr_g=args.lr_g, lr_d=args.lr_d,
+        d_steps_per_g=args.d_steps_per_g,
+        g_ema_alpha=args.g_running_average_alpha,
+        mesh_regularization=args.mesh_regularization,
+        loss=args.loss, epochs=args.epochs,
+        lr_decay_after=args.lr_decay_after, batch_size=args.batch_size,
+    )
+
+    workdir = os.path.join("gan_weights", args.name)
+    trainer = GANTrainer(tcfg, template=template, workdir=workdir)
+    if args.continue_train or args.evaluate:
+        trainer.restore()
+
+    if args.save_results:
+        out = os.path.join("results", args.name)
+        files = export_results(
+            trainer, template, out, n_samples=args.batch_size,
+            truncation_sigma=args.truncation_sigma,
+        )
+        print(f"exported {len(files)} samples to {out}")
+        return 0
+
+    eval_ds = EvalDataset(ds)
+
+    def eval_batches():
+        return batch_iterator(eval_ds, args.batch_size, shuffle=False)
+
+    if args.evaluate:
+        cache_dir = args.cache_dir or os.path.join("cache", args.dataset)
+        evaluator = FIDEvaluator(trainer, template)
+        acts = evaluator.activations_for_batches(
+            eval_batches(), args.truncation_sigma, variants=True
+        )
+        stats_path = os.path.join(cache_dir, "precomputed_fid_299x299_train.npz")
+        m_real, s_real, _, _ = load_precomputed_stats(stats_path)
+        for key, act in acts.items():
+            print(f"fid/{key}: {evaluator.fid_against_stats(act, m_real, s_real):.3f}")
+        return 0
+
+    logger = MetricsLogger(workdir, "gan")
+    for epoch in range(trainer.epoch, args.epochs):
+        trainer.epoch = epoch
+        t0 = time.time()
+        for batch in gan_batch_iterator(ds, args.batch_size, seed=epoch):
+            losses = trainer.train_step(batch)
+            if trainer.total_it % 10 == 0:
+                logger.log(trainer.total_it,
+                           {k: float(v) for k, v in losses.items()})
+        print(f"epoch {epoch}: {time.time() - t0:.1f}s")
+        trainer.epoch = epoch + 1
+        if (epoch + 1) % args.save_freq == 0 or (epoch + 1) % args.checkpoint_freq == 0:
+            trainer.save()
+    trainer.save()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,173 @@
+"""Mesh-estimation training / evaluation / pseudo-gt CLI.
+
+Flag-compatible re-design of the reference ``code/run_reconstruction.py``
+(same flag names/defaults, ``:33-67``).
+
+Examples:
+    python -m im23d_tpu.cli.run_reconstruction --name cub_recon --dataset cub
+    python -m im23d_tpu.cli.run_reconstruction --name cub_recon --dataset cub \
+        --generate_pseudogt --batch_size 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--name", type=str, required=True)
+    p.add_argument("--dataset", type=str, required=True, help="(p3d|cub)")
+    p.add_argument("--mesh_path", type=str, default="autodetect")
+    p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--image_resolution", type=int, default=256)
+    p.add_argument("--symmetric", type=bool, default=True)
+    p.add_argument("--texture_resolution", type=int, default=128)
+    p.add_argument("--mesh_resolution", type=int, default=32)
+    p.add_argument("--loss", type=str, default="mse", help="(mse|l1)")
+    p.add_argument("--checkpoint_freq", type=int, default=100)
+    p.add_argument("--evaluate_freq", type=int, default=10)
+    p.add_argument("--save_freq", type=int, default=10)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--no_augmentation", action="store_true")
+    p.add_argument("--optimize_deltas", type=bool, default=True)
+    p.add_argument("--optimize_z0", action="store_true")
+    p.add_argument("--generate_pseudogt", action="store_true")
+    p.add_argument("--pseudogt_resolution", type=int, default=512)
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--which_epoch", type=str, default="latest")
+    p.add_argument("--mesh_regularization", type=float, default=5e-5)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_dataset", type=float, default=1e-4)
+    p.add_argument("--lr_decay_every", type=int, default=250)
+    p.add_argument("--datasets_root", type=str, default="datasets")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from im23d_tpu.core.jax_setup import setup_jax
+
+    setup_jax()
+
+    from im23d_tpu.core.metrics_logger import MetricsLogger
+    from im23d_tpu.data.cmr import CUBDataset, P3dDataset, batch_iterator
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.train.recon_trainer import ReconConfig, ReconTrainer
+
+    if args.mesh_path == "autodetect":
+        rings = 31 if args.dataset == "p3d" else 16
+        template = MeshTemplate(segments=32, rings=rings)
+    else:
+        template = MeshTemplate(args.mesh_path)
+
+    if args.generate_pseudogt:
+        inception_resolution = 299
+        renderer_res = max(1024, 2 * args.pseudogt_resolution)
+        sizes = [args.image_resolution, inception_resolution, renderer_res]
+    else:
+        sizes = args.image_resolution
+
+    is_train = not (args.no_augmentation or args.evaluate or args.generate_pseudogt)
+    if args.dataset == "cub":
+        train_ds = CUBDataset(args.datasets_root, "train", is_train, sizes)
+        val_ds = (
+            CUBDataset(args.datasets_root, "testval", False,
+                       299 if args.generate_pseudogt else args.image_resolution)
+        )
+    elif args.dataset == "p3d":
+        train_ds = P3dDataset(args.datasets_root, "train", is_train, sizes)
+        val_ds = (
+            None if args.generate_pseudogt
+            else P3dDataset(args.datasets_root, "val", False, args.image_resolution)
+        )
+    else:
+        raise ValueError("Invalid dataset")
+
+    cfg = ReconConfig(
+        image_resolution=args.image_resolution,
+        texture_resolution=args.texture_resolution,
+        mesh_resolution=args.mesh_resolution,
+        symmetric=args.symmetric,
+        loss=args.loss,
+        mesh_regularization=args.mesh_regularization,
+        optimize_deltas=args.optimize_deltas,
+        optimize_z0=args.optimize_z0,
+        lr=args.lr,
+        lr_dataset=args.lr_dataset,
+        lr_decay_every=args.lr_decay_every,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+    )
+    workdir = os.path.join("checkpoints_recon", args.name)
+    trainer = ReconTrainer(cfg, dataset_size=len(train_ds), template=template,
+                           workdir=workdir)
+    if args.evaluate or args.generate_pseudogt or args.continue_train:
+        trainer.restore()
+
+    train_keys = ("image", "scale", "translation", "rotation", "idx")
+
+    if args.generate_pseudogt:
+        cache_dir = os.path.join("cache", args.dataset)
+        os.makedirs(cache_dir, exist_ok=True)
+        renderer_res = max(1024, 2 * args.pseudogt_resolution)
+
+        def loader():
+            for batch in batch_iterator(train_ds, args.batch_size,
+                                        shuffle=False, drop_last=False):
+                batch["hd_image"] = batch.pop(f"image_{renderer_res}") / 2.0 + 0.5
+                batch["inception_image"] = batch.pop("image_299")
+                yield batch
+
+        def val_loader():
+            for batch in batch_iterator(val_ds, args.batch_size,
+                                        shuffle=False, drop_last=False):
+                batch["inception_image"] = batch.pop("image")
+                yield batch
+
+        trainer.generate_pseudogt(
+            loader(), cache_dir, args.dataset,
+            pseudogt_resolution=args.pseudogt_resolution,
+            paths=train_ds.get_paths(),
+            val_loader=val_loader() if args.dataset == "cub" else None,
+        )
+        return 0
+
+    def val_batches():
+        return batch_iterator(val_ds, args.batch_size, shuffle=False,
+                              keys=train_keys)
+
+    if args.evaluate:
+        means = trainer.evaluate(val_batches())
+        print({k: round(v, 5) for k, v in means.items()})
+        return 0
+
+    logger = MetricsLogger(workdir, "recon")
+    for epoch in range(trainer.epoch, args.epochs):
+        trainer.epoch = epoch
+        t0 = time.time()
+        for batch in batch_iterator(train_ds, args.batch_size, seed=epoch,
+                                    keys=train_keys):
+            losses = trainer.train_step(batch)
+            if trainer.total_it % 10 == 0:
+                logger.log(trainer.total_it,
+                           {k: float(v) for k, v in losses.items()})
+        print(f"epoch {epoch}: {time.time() - t0:.1f}s")
+        trainer.epoch = epoch + 1
+        if (epoch + 1) % args.save_freq == 0:
+            trainer.save()
+        if (epoch + 1) % args.evaluate_freq == 0 and val_ds is not None:
+            means = trainer.evaluate(val_batches())
+            logger.log(trainer.total_it,
+                       {f"val/{k}": v for k, v in means.items()})
+    trainer.save()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

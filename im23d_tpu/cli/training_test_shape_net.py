@@ -1,0 +1,90 @@
+"""ShapeNet unsupervised training CLI.
+
+Equivalent of the reference ``code/training_test_shape_net.py`` __main__
+blocks (chairs / planes / cars configs, ``:182-237``) with an argparse
+front-end, plus a synthetic-data mode for environments without the ShapeNet
+renders.
+
+Examples:
+    python -m im23d_tpu.cli.training_test_shape_net --category chairs \
+        --data_root data --workdir runs/chairs
+    python -m im23d_tpu.cli.training_test_shape_net --category chairs \
+        --synthetic --steps 200 --workdir /tmp/smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--category", choices=("chairs", "planes", "cars"),
+                   default="chairs")
+    p.add_argument("--data_root", type=str, default="data",
+                   help="directory with <synset>.{train,valid} splits + renders")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated silhouette data (no assets needed)")
+    p.add_argument("--workdir", type=str, required=True)
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the per-category step count")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--restore", type=str, default=None,
+                   help="workdir to restore the latest checkpoint from")
+    p.add_argument("--eval_only", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from im23d_tpu.core.jax_setup import setup_jax
+
+    setup_jax()
+
+    from im23d_tpu.data.synthetic import SyntheticSilhouettes
+    from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
+
+    cfg = getattr(ShapeNetConfig, args.category)()
+    overrides = {}
+    if args.steps is not None:
+        overrides["total_steps"] = args.steps
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if overrides:
+        cfg = ShapeNetConfig(**{**cfg.__dict__, **overrides})
+
+    learner = ShapeNetLearner(cfg, workdir=args.workdir)
+    if args.restore:
+        learner.restore(args.restore)
+
+    if args.synthetic:
+        data = SyntheticSilhouettes(
+            cfg.batch_size, cfg.image_size, cfg.num_views, n_points=512
+        )
+        train_iter = iter(data)
+        valid_batches = lambda: [data.next_batch() for _ in range(2)]
+    else:
+        from im23d_tpu.data.shapenet import DataBunch
+
+        bunch = DataBunch(
+            args.data_root, args.category, cfg.batch_size,
+            cfg.image_size, use_camera=False,
+        )
+        train_iter = bunch.train_iter()
+        valid_batches = bunch.valid_batches
+
+    if args.eval_only:
+        means = learner.evaluate(valid_batches)
+        print({k: round(v, 5) for k, v in means.items()})
+        return 0
+
+    losses = learner.fit(train_iter, num_steps=cfg.total_steps,
+                         valid_batches=valid_batches)
+    learner.save()
+    print({k: round(v, 5) for k, v in losses.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

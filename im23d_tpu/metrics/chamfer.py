@@ -61,8 +61,6 @@ def _nn_kernel(x_ref, y_ref, out_ref, *, m_tile: int, m_total: int):
     xx = x_ref[0, 2][None, :]
 
     def body(mi, best):
-        def one(dy):  # dy: (m_tile,) slice of a y coord row
-            return dy
         y0 = y_ref[0, 0, pl.ds(mi * m_tile, m_tile)]  # (m_tile,)
         y1 = y_ref[0, 1, pl.ds(mi * m_tile, m_tile)]
         y2 = y_ref[0, 2, pl.ds(mi * m_tile, m_tile)]
@@ -74,10 +72,10 @@ def _nn_kernel(x_ref, y_ref, out_ref, *, m_tile: int, m_total: int):
 
     best = jnp.full((1, xz.shape[1]), 1e30, jnp.float32)
     best = jax.lax.fori_loop(0, m_total // m_tile, body, best)
-    out_ref[0] = best[0]
+    out_ref[0] = best
 
 
-def nn_dist2_pallas(x: jnp.ndarray, y: jnp.ndarray, m_tile: int = 512) -> jnp.ndarray:
+def nn_dist2_pallas(x: jnp.ndarray, y: jnp.ndarray, m_tile: int = 128) -> jnp.ndarray:
     """Pallas version: per-cloud kernel, y streamed in m_tile slices; the
     (m_tile, N) distance tile lives only in VMEM/registers."""
     B, N, _ = x.shape
@@ -100,11 +98,12 @@ def nn_dist2_pallas(x: jnp.ndarray, y: jnp.ndarray, m_tile: int = 512) -> jnp.nd
             pl.BlockSpec((1, 3, N_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, M_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N_pad), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, N_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, N_pad), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(xt, yt)
-    return out[:, :N]
+    return out[:, 0, :N]
 
 
 def nn_dist2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

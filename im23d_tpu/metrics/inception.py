@@ -179,7 +179,7 @@ def init_inception(rng=None):
     ``load_torch_state_dict`` for published-score-comparable FID."""
     model = InceptionV3Features()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 299, 299, 3)))
+    variables = jax.jit(model.init)(rng, jnp.zeros((1, 299, 299, 3)))
     return model, variables
 
 

@@ -1,0 +1,134 @@
+"""GAN evaluation: FID of rendered generated meshes + sample export.
+
+Parity: reference ``evaluate_fid`` (``code/main.py:188-412``) and the
+``--save_results`` export path (``main.py:836-896``):
+
+* truncation-trick sampling of z,
+* EMA-generator inference,
+* render each generated (mesh, texture) under a dataset pose at 299²,
+* InceptionV3 activations -> FID vs precomputed real stats,
+* three variants: combined, real-mesh + fake-texture, fake-mesh +
+  real-texture (``main.py:295-314``),
+* mesh/.obj/.mtl/.png export for ``--save_results``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from im23d_tpu.metrics.fid import calculate_stats, frechet_distance
+from im23d_tpu.ops.quaternion import qrot
+from im23d_tpu.render.renderer import render_mesh
+
+
+def render_generated(template, renderer_res, mesh_map, texture, scale,
+                     translation, rotation):
+    """Pose + render a generated UV mesh/texture (``main.py:283-293``)."""
+    vtx = template.get_vertex_positions(mesh_map)
+    rot = rotation / jnp.maximum(
+        jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-12
+    )
+    vtx = qrot(rot, scale.reshape(-1, 1, 1) * vtx) + translation[:, None, :]
+    vtx = vtx * jnp.asarray([1.0, -1.0, -1.0], vtx.dtype)
+    tex01 = texture / 2.0 + 0.5  # generator outputs [-1, 1]
+    uvs, tex_adj = template.adjust_uv_and_texture(tex01)
+    image, alpha, _ = render_mesh(
+        vtx, template.faces_j, uvs, template.face_uvs_j, tex_adj,
+        renderer_res, renderer_res,
+    )
+    return image, alpha
+
+
+class FIDEvaluator:
+    """Renders generated samples and scores FID against real statistics."""
+
+    def __init__(self, gan_trainer, template, evaluation_res: int = 299,
+                 inception_variables=None):
+        from im23d_tpu.metrics.inception import init_inception
+
+        self.trainer = gan_trainer
+        self.template = template
+        self.res = evaluation_res
+        self.model, self.variables = init_inception()
+        if inception_variables is not None:
+            self.variables = inception_variables
+        self._render = jax.jit(
+            lambda mesh_map, tex, s, t, r: render_generated(
+                template, evaluation_res, mesh_map, tex, s, t, r
+            )
+        )
+        self._act = jax.jit(lambda img: self.model.apply(self.variables, img))
+
+    def activations_for_batches(self, eval_batches: Iterable[dict],
+                                truncation_sigma: float = 1e9,
+                                variants: bool = False, rng=None):
+        """Generate + render + embed. Returns activations dict with keys
+        'combined' (+ 'mesh_only', 'texture_only' when variants and pseudo-gt
+        textures/meshes are present in the batches)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        acts: dict[str, list] = {"combined": []}
+        if variants:
+            acts["texture_only"] = []
+            acts["mesh_only"] = []
+        i = 0
+        for batch in eval_batches:
+            n = batch["rotation"].shape[0]
+            rng_i = jax.random.fold_in(rng, i)
+            z = self.trainer.truncation_sample(rng_i, n, truncation_sigma)
+            c = jnp.asarray(batch["c"]) if "c" in batch else None
+            tex, mesh_map = self.trainer.generate(z, c)
+            s = jnp.asarray(batch["scale"]).reshape(-1)
+            t = jnp.asarray(batch["translation"])
+            r = jnp.asarray(batch["rotation"])
+            img, _ = self._render(mesh_map, tex, s, t, r)
+            acts["combined"].append(np.asarray(self._act(img)))
+            if variants and "texture" in batch and "mesh" in batch:
+                real_tex = jnp.asarray(batch["texture"])
+                real_mesh = jnp.asarray(batch["mesh"])
+                img_t, _ = self._render(real_mesh, tex, s, t, r)
+                acts["texture_only"].append(np.asarray(self._act(img_t)))
+                img_m, _ = self._render(mesh_map, real_tex, s, t, r)
+                acts["mesh_only"].append(np.asarray(self._act(img_m)))
+            i += 1
+        return {k: np.concatenate(v, axis=0) for k, v in acts.items() if v}
+
+    @staticmethod
+    def fid_against_stats(activations: np.ndarray, m_real, s_real) -> float:
+        m, s = calculate_stats(activations)
+        return frechet_distance(m, s, m_real, s_real)
+
+
+def load_precomputed_stats(path: str):
+    """Load reference-format FID stats npz (tril-packed covariance,
+    ``main.py:170-184``)."""
+    stats = np.load(path, allow_pickle=True)
+    m = stats["stats_m"]
+    s = stats["stats_s"]
+    s = s + np.triu(s.T, 1)
+    return m, s, int(stats["num_images"]), int(stats["resolution"])
+
+
+def export_results(gan_trainer, template, out_dir: str, n_samples: int = 16,
+                   truncation_sigma: float = 1.0, classes=None,
+                   render_res: int = 512, rng=None) -> list[str]:
+    """--save_results path: export obj/mtl/png per sample + a render grid."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    z = gan_trainer.truncation_sample(rng, n_samples, truncation_sigma)
+    c = None
+    if classes is not None:
+        c = jnp.asarray(classes, jnp.int32)
+    tex, mesh_map = gan_trainer.generate(z, c)
+    vtx = template.get_vertex_positions(mesh_map)
+    files = []
+    tex01 = np.asarray(tex / 2.0 + 0.5)
+    for i in range(n_samples):
+        prefix = os.path.join(out_dir, f"sample_{i:03d}")
+        template.export_obj(prefix, np.asarray(vtx)[i], tex01[i])
+        files.append(prefix + ".obj")
+    return files

@@ -101,10 +101,14 @@ class GANTrainer:
     def _init_states(self):
         cfg = self.cfg
         z, c, x, mesh_map = self._example_inputs()
-        g_vars = self.generator.init(self._rng, z, c, train=False)
-        d_vars = self.discriminator.init(
-            jax.random.fold_in(self._rng, 1), x, mesh_map, c, train=False
-        )
+        # jit the inits: eager init dispatches op-by-op, which is minutes of
+        # round-trips on a remote TPU tunnel
+        g_vars = jax.jit(
+            lambda r, z_, c_: self.generator.init(r, z_, c_, train=False)
+        )(self._rng, z, c)
+        d_vars = jax.jit(
+            lambda r, x_, m_, c_: self.discriminator.init(r, x_, m_, c_, train=False)
+        )(jax.random.fold_in(self._rng, 1), x, mesh_map, c)
         self.g_params = g_vars["params"]
         self.g_stats = g_vars.get("batch_stats", {})
         self.d_params = d_vars["params"]

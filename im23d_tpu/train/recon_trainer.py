@@ -115,7 +115,9 @@ class ReconTrainer:
     def _init_state(self):
         cfg = self.cfg
         x = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 4))
-        variables = self.model.init(self._rng, x, train=False)
+        variables = jax.jit(
+            lambda r, x_: self.model.init(r, x_, train=False)
+        )(self._rng, x)
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
@@ -123,7 +125,9 @@ class ReconTrainer:
 
         if self.use_dp:
             mode = "deltas" if cfg.optimize_deltas else "z0"
-            dpv = self.dp_model.init(self._rng, jnp.zeros((1,), jnp.int32), mode)
+            dpv = jax.jit(
+                lambda r, i: self.dp_model.init(r, i, mode)
+            )(self._rng, jnp.zeros((1,), jnp.int32))
             self.dp_params = dpv["params"]
             self.tx_dp = optax.adam(cfg.lr_dataset)
             self.opt_dp = self.tx_dp.init(self.dp_params)

@@ -112,7 +112,7 @@ class ShapeNetLearner:
         pose_imgs = jnp.zeros(
             (cfg.num_views, cfg.image_size, cfg.image_size, 3), jnp.float32
         )
-        params = self.model.init(self._base_rng, imgs, pose_imgs)
+        params = jax.jit(self.model.init)(self._base_rng, imgs, pose_imgs)
         tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx

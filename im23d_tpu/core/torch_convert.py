@@ -1,0 +1,189 @@
+"""Torch-checkpoint -> flax-variable converters for pretrained weights.
+
+BASELINE's north star includes "mesh/texture outputs matching the PyTorch
+reference on pretrained CUB and P3D weights".  These converters map the
+reference's state-dict names (module structure documented in SURVEY.md §2.1
+#5/#6) onto this framework's flax trees:
+
+* ``convert_reconstruction``: reference ``ReconstructionNetwork``
+  (``code/models/reconstruction.py:28-137``) -> ``models.reconstruction``.
+* ``convert_generator``: reference ``Generator`` (``code/models/gan.py:314-426``)
+  -> ``models.gan.Generator``.
+
+Conventions: torch convs are OIHW -> flax HWIO; Linear weights transpose;
+BatchNorm running stats move to the ``batch_stats`` collection; spectral-norm
+wrapped convs store ``weight_orig`` (the unnormalized kernel) plus power-
+iteration vectors ``u/v`` (mapped into flax SpectralNorm's state).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def _conv(w):  # OIHW -> HWIO
+    return np.asarray(w, np.float32).transpose(2, 3, 1, 0)
+
+
+def _dense(w):  # (out, in) -> (in, out)
+    return np.asarray(w, np.float32).T
+
+
+def _put(tree: dict, path: list[str], leaf) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
+def _bn(sd: Mapping, prefix: str, params: dict, stats: dict, path: list[str],
+        affine: bool = True) -> None:
+    if affine and f"{prefix}.weight" in sd:
+        _put(params, path + ["scale"], np.asarray(sd[f"{prefix}.weight"], np.float32))
+        _put(params, path + ["bias"], np.asarray(sd[f"{prefix}.bias"], np.float32))
+    _put(stats, path + ["mean"], np.asarray(sd[f"{prefix}.running_mean"], np.float32))
+    _put(stats, path + ["var"], np.asarray(sd[f"{prefix}.running_var"], np.float32))
+
+
+def convert_reconstruction(sd: Mapping) -> dict:
+    """Reference ReconstructionNetwork state dict -> flax variables.
+
+    Torch name -> flax name mapping (reference ``reconstruction.py:51-96``):
+    conv{1..5}e/bn{1..5}e -> Conv_0..4 / BatchNorm_0..4; fc1e/bnfc1e,
+    fc3e/bnfc3e -> Dense_0/BatchNorm_5, Dense_1/BatchNorm_6; fc1_tex ->
+    Dense_2; blk{1,2,3} -> ResBlock_0..2; blk3b/3c_tex, blk4_mesh, conv_mesh,
+    blk4_tex, blk5_tex, conv_tex keep their names.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    for i in range(5):
+        _put(params, [f"Conv_{i}", "kernel"], _conv(sd[f"conv{i+1}e.weight"]))
+        _bn(sd, f"bn{i+1}e", params, stats, [f"BatchNorm_{i}"])
+    _put(params, ["Dense_0", "kernel"], _dense(sd["fc1e.weight"]))
+    _bn(sd, "bnfc1e", params, stats, ["BatchNorm_5"])
+    _put(params, ["Dense_1", "kernel"], _dense(sd["fc3e.weight"]))
+    _bn(sd, "bnfc3e", params, stats, ["BatchNorm_6"])
+    _put(params, ["Dense_2", "kernel"], _dense(sd["fc1_tex.weight"]))
+    _put(params, ["Dense_2", "bias"], np.asarray(sd["fc1_tex.bias"], np.float32))
+
+    def resblock(torch_name: str, flax_name: str):
+        # flax auto-names follow creation order: the 1x1 shortcut (when the
+        # channel count changes) is created first -> Conv_0
+        sub_p: dict = {}
+        sub_s: dict = {}
+        has_shortcut = f"{torch_name}.shortcut.weight" in sd
+        base = 1 if has_shortcut else 0
+        if has_shortcut:
+            _put(sub_p, ["Conv_0", "kernel"], _conv(sd[f"{torch_name}.shortcut.weight"]))
+        _put(sub_p, [f"Conv_{base}", "kernel"], _conv(sd[f"{torch_name}.conv1.weight"]))
+        _bn(sd, f"{torch_name}.bn1", sub_p, sub_s, ["BatchNorm_0"])
+        _put(sub_p, [f"Conv_{base + 1}", "kernel"], _conv(sd[f"{torch_name}.conv2.weight"]))
+        _bn(sd, f"{torch_name}.bn2", sub_p, sub_s, ["BatchNorm_1"])
+        params[flax_name] = sub_p
+        stats[flax_name] = sub_s
+
+    resblock("blk1", "ResBlock_0")
+    resblock("blk2", "ResBlock_1")
+    resblock("blk3", "ResBlock_2")
+    for name in ("blk3b_tex", "blk3c_tex", "blk4_mesh", "blk4_tex", "blk5_tex"):
+        if f"{name}.conv1.weight" in sd:
+            resblock(name, name)
+    for name in ("conv_mesh", "conv_tex"):
+        _put(params, [name, "kernel"], _conv(sd[f"{name}.weight"]))
+        _put(params, [name, "bias"], np.asarray(sd[f"{name}.bias"], np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_generator(sd: Mapping, has_mesh_head: bool = True) -> dict:
+    """Reference GAN Generator state dict -> flax variables.
+
+    Spectral-norm convs in torch store ``weight_orig`` + ``weight_u``; flax
+    ``nn.SpectralNorm`` keeps the raw kernel in params and u/sigma in
+    ``batch_stats`` under ``<layer>/kernel/{u,sigma}``.  We load
+    ``weight_orig`` as the kernel and seed u from ``weight_u`` (sigma is
+    recomputed on the first forward).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def dense(tname, fpath):
+        _put(params, fpath + ["kernel"], _dense(sd[f"{tname}.weight"]))
+        if f"{tname}.bias" in sd:
+            _put(params, fpath + ["bias"], np.asarray(sd[f"{tname}.bias"], np.float32))
+
+    def embed(tname, fpath):
+        if f"{tname}.weight" in sd:
+            _put(params, fpath + ["embedding"],
+                 np.asarray(sd[f"{tname}.weight"], np.float32))
+
+    def sn_conv(tname, block: str, conv_idx: int, sn_idx: int):
+        w = sd.get(f"{tname}.weight_orig", sd.get(f"{tname}.weight"))
+        _put(params, [block, f"Conv_{conv_idx}", "kernel"], _conv(w))
+        if f"{tname}.bias" in sd:
+            _put(params, [block, f"Conv_{conv_idx}", "bias"],
+                 np.asarray(sd[f"{tname}.bias"], np.float32))
+        if f"{tname}.weight_u" in sd:
+            u = np.asarray(sd[f"{tname}.weight_u"], np.float32)[None]
+            # flax SpectralNorm stores flattened "<layer>/kernel/{u,sigma}"
+            _put(stats, [block, f"SpectralNorm_{sn_idx}",
+                         f"Conv_{conv_idx}/kernel/u"], u)
+            _put(stats, [block, f"SpectralNorm_{sn_idx}",
+                         f"Conv_{conv_idx}/kernel/sigma"],
+                 np.ones((), np.float32))
+
+    def cond_norm(tname, fpath):
+        dense(f"{tname}.fc_gamma", fpath + ["fc_gamma"])
+        dense(f"{tname}.fc_beta", fpath + ["fc_beta"])
+        if f"{tname}.norm.running_mean" in sd:
+            # ConditionalNorm's BatchNorm stats live under the block in the
+            # batch_stats collection
+            block, norm_name = fpath
+            _put(stats, [block, norm_name, "BatchNorm_0", "mean"],
+                 np.asarray(sd[f"{tname}.norm.running_mean"], np.float32))
+            _put(stats, [block, norm_name, "BatchNorm_0", "var"],
+                 np.asarray(sd[f"{tname}.norm.running_var"], np.float32))
+
+    def resblock_up(tname, fname):
+        has_shortcut = (f"{tname}.shortcut.weight_orig" in sd
+                        or f"{tname}.shortcut.weight" in sd)
+        base = 1 if has_shortcut else 0
+        if has_shortcut:
+            sn_conv(f"{tname}.shortcut", fname, 0, 0)
+        sn_conv(f"{tname}.conv1", fname, base, base)
+        sn_conv(f"{tname}.conv2", fname, base + 1, base + 1)
+        cond_norm(f"{tname}.norm1", [fname, "norm1"])
+        cond_norm(f"{tname}.norm2", [fname, "norm2"])
+
+    dense("fc", ["fc"])
+    embed("emb_class", ["emb_class"])
+    embed("emb_color", ["emb_color"])
+    for tname, fname in [
+        ("blk1", "blk1"), ("blk2", "blk2"), ("blk3a", "blk3a"),
+        ("blk3b", "blk3b"), ("blk3c", "blk3c"), ("blk4", "blk4"),
+        ("blk5", "blk5"), ("blk6", "blk6"), ("blk3_mesh", "blk3_mesh"),
+    ]:
+        if f"{tname}.conv1.weight_orig" in sd or f"{tname}.conv1.weight" in sd:
+            resblock_up(tname, fname)
+    for tname, fname in [("conv_final", "conv_final"), ("conv_mesh", "conv_mesh")]:
+        if f"{tname}.weight" in sd:
+            _put(params, [fname, "kernel"], _conv(sd[f"{tname}.weight"]))
+            _put(params, [fname, "bias"], np.asarray(sd[f"{tname}.bias"], np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch .pth file (CPU, weights only) -> plain dict of numpy."""
+    import torch
+
+    chk = torch.load(path, map_location="cpu", weights_only=False)
+    return chk
+
+
+def tree_shapes(tree) -> dict:
+    """Debug helper: pytree -> nested dict of shapes."""
+    if isinstance(tree, Mapping):
+        return {k: tree_shapes(v) for k, v in tree.items()}
+    return tuple(np.shape(tree))

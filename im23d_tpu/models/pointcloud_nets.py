@@ -46,7 +46,9 @@ class ConvEncoder(nn.Module):
                 self.channels,
                 (k, k),
                 strides=(s, s),
-                padding="SAME",
+                # symmetric k//2 padding (torch semantics; flax SAME is
+                # asymmetric under stride 2)
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
                 use_bias=True,
                 kernel_init=kaiming_normal,
             )(x)

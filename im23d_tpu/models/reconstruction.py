@@ -82,7 +82,10 @@ class ReconstructionNetwork(nn.Module):
         pad = replicate_pad_w if self.symmetric else circular_pad_w
 
         def conv_bn(h, ch, k, s):
-            h = nn.Conv(ch, (k, k), strides=(s, s), padding="SAME", use_bias=False)(h)
+            # explicit symmetric k//2 padding: torch semantics; flax "SAME"
+            # pads asymmetrically under stride 2 (breaks weight parity)
+            pad_k = ((k // 2, k // 2), (k // 2, k // 2))
+            h = nn.Conv(ch, (k, k), strides=(s, s), padding=pad_k, use_bias=False)(h)
             h = nn.BatchNorm(use_running_average=not train)(h)
             return nn.relu(h)
 

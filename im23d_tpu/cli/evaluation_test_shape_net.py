@@ -76,9 +76,11 @@ def main(argv=None) -> int:
         rng = _np.random.RandomState(123)
         gt = _random_shapes(rng, cfg.batch_size, 512)
         batch = batches[0]
+        nb = learner._normalize(
+            dict(images=jnp.asarray(batch["images"]),
+                 pose_input=jnp.asarray(batch["pose_input"])))
         out = learner.state.apply_fn(
-            learner.state.params, jnp.asarray(batch["images"]),
-            jnp.asarray(batch["pose_input"]),
+            learner.state.params, nb["images"], nb["pose_input"]
         )
         pred = out["point_cloud"]
         total, _, _ = chamfer_distance(pred, jnp.asarray(gt))
@@ -93,14 +95,17 @@ def main(argv=None) -> int:
 
         batch = batches[0]
         # render the student projections of the first batch
+        nb = learner._normalize(
+            dict(images=jnp.asarray(batch["images"]),
+                 pose_input=jnp.asarray(batch["pose_input"]),
+                 masks=jnp.asarray(batch["masks"])))
         model_out = learner.state.apply_fn(
-            learner.state.params, jnp.asarray(batch["images"]),
-            jnp.asarray(batch["pose_input"]),
+            learner.state.params, nb["images"], nb["pose_input"]
         )
         from im23d_tpu.losses.effective import unsupervised_loss
 
         _, aux = unsupervised_loss(
-            model_out, jnp.asarray(batch["masks"]), jnp.float32(0.3), None,
+            model_out, nb["masks"], jnp.float32(0.3), None,
             cfg.num_views, voxel_size=cfg.voxel_size, training=False,
         )
         proj = np.asarray(aux["projection"])

@@ -48,7 +48,9 @@ def _load_image_rgba(path: Path, image_size: int) -> np.ndarray:
     img = Image.open(path)
     if img.size != (image_size, image_size):
         img = img.resize((image_size, image_size), Image.BILINEAR)
-    return np.asarray(img, dtype=np.float32) / 255.0  # (H, W, 4)
+    # uint8 passthrough: normalization happens on device (the trainer divides
+    # by 255), minimizing host->device traffic
+    return np.asarray(img, dtype=np.uint8)  # (H, W, 4)
 
 
 class ShapeNetRenders:

@@ -52,7 +52,9 @@ class SyntheticSilhouettes:
     """
 
     def __init__(self, batch_size: int, image_size: int = 128, num_views: int = 5,
-                 n_points: int = 512, seed: int = 0, sigma: float = 1.2):
+                 n_points: int = 512, seed: int = 0, sigma: float = 1.2,
+                 uint8: bool = True):
+        self.uint8 = uint8
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_views = num_views
@@ -85,6 +87,11 @@ class SyntheticSilhouettes:
         masks = np.asarray(
             resize_bilinear(jnp.asarray(sil), self.image_size, self.image_size)
         ).astype(np.float32)
+        if self.uint8:
+            # PNG-native uint8: the trainer normalizes on device (4x less
+            # host->device traffic)
+            q = lambda a: np.clip(a * 255.0, 0, 255).astype(np.uint8)
+            return dict(images=q(images), pose_input=q(imgs3), masks=q(masks))
         return dict(images=images, pose_input=imgs3, masks=masks)
 
     def __iter__(self):

@@ -93,14 +93,13 @@ def _bwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, g_ref,
     N = gz_ref.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
 
+    # VMEM budget is tight (the v5e scoped limit is 16 MB): keep only the
+    # coordinate diffs + bf16 weight matrices resident, and recompute the
+    # hat/hat' weights from the diffs inside the loop (cheap VPU work).
     dy = iota - gy_ref[0, 0][None, :]
     dx = iota - gx_ref[0, 0][None, :]
-    wy = _hat(dy)
-    wx = _hat(dx)
-    wyp = _hat_grad(dy)
-    wxp = _hat_grad(dx)
-    wy_d = wy.astype(dot_dtype)
-    wx_d = wx.astype(dot_dtype)
+    wy_d = _hat(dy).astype(dot_dtype)
+    wx_d = _hat(dx).astype(dot_dtype)
     gz = gz_ref[0, 0][None, :]
     c = c_ref[0, 0][None, :]
 
@@ -117,16 +116,15 @@ def _bwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, g_ref,
             preferred_element_type=jnp.float32,
             precision=_precision(dot_dtype),
         )  # (S, N)
+        t0 = jnp.sum(_hat(dy) * m_z, axis=0, keepdims=True)   # (1, N)
+        t1 = jnp.sum(_hat_grad(dy) * m_z, axis=0, keepdims=True)
         # P_z[x, n] = sum_y G_z[y, x] * Wy[y, n]
         p_z = jax.lax.dot_general(
             g_z, wy_d, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(dot_dtype),
         )  # (S, N)
-
-        t0 = jnp.sum(wy * m_z, axis=0, keepdims=True)   # (1, N)
-        t1 = jnp.sum(wyp * m_z, axis=0, keepdims=True)
-        t2 = jnp.sum(wxp * p_z, axis=0, keepdims=True)
+        t2 = jnp.sum(_hat_grad(dx) * p_z, axis=0, keepdims=True)
 
         # d hat/dg: hz uses diff = gz - z (direct); wy/wx use diff = iota - g,
         # so the chain picks up a -1 for the y and x terms.

@@ -129,8 +129,19 @@ class ShapeNetLearner:
             self.cfg.sigma_schedule, frac
         )
 
+    @staticmethod
+    def _normalize(batch):
+        """uint8 batches (PNG-native) are normalized on device: 4x less
+        host->device traffic, which dominates the step over a remote tunnel."""
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) / 255.0
+            if x.dtype == jnp.uint8 else x,
+            batch,
+        )
+
     def _loss_fn(self, params, batch, rng, p, sigma, training):
         cfg = self.cfg
+        batch = self._normalize(batch)
         outputs = self.model.apply(params, batch["images"], batch["pose_input"])
         B = batch["images"].shape[0]
         keep_w = keep_mask(rng, B, cfg.num_points, p)
@@ -179,10 +190,11 @@ class ShapeNetLearner:
 
     # -- public API ---------------------------------------------------------
 
-    def train_step(self, batch: dict) -> dict:
+    def train_step(self, batch: dict, already_on_device: bool = False) -> dict:
         step = int(self.state.step)
         rng = jax.random.fold_in(self._base_rng, step)
-        batch = shard_batch_pytree(batch, self.mesh)
+        if not already_on_device:
+            batch = shard_batch_pytree(batch, self.mesh)
         self.state, losses, min_idx = self._train_step(self.state, batch, rng)
         self._last_min_idx = min_idx
         return losses
@@ -220,16 +232,27 @@ class ShapeNetLearner:
         )
         self.state = jax.device_put(self.state, replicated(self.mesh))
 
+    def put_batch(self, batch: dict):
+        """Async host->device transfer (overlaps with the running step)."""
+        return shard_batch_pytree(batch, self.mesh)
+
     def fit(self, train_iter: Iterator[dict], num_steps: int | None = None,
             valid_batches=None) -> dict:
-        """Run the training loop; returns the final loss dict."""
+        """Run the training loop; returns the final loss dict.
+
+        The next batch's host->device transfer is dispatched before the
+        current step is consumed, hiding transfer latency behind compute.
+        """
         cfg = self.cfg
         num_steps = num_steps or cfg.total_steps
         losses: dict[str, Any] = {}
         t0 = time.time()
-        for _ in range(num_steps):
-            batch = next(train_iter)
-            losses = self.train_step(batch)
+        pending = self.put_batch(next(train_iter))
+        for i in range(num_steps):
+            batch_dev = pending
+            if i + 1 < num_steps:
+                pending = self.put_batch(next(train_iter))
+            losses = self.train_step(batch_dev, already_on_device=True)
             step = int(self.state.step)
             if self.logger and step % cfg.log_every == 0:
                 host = {k: float(v) for k, v in losses.items()}

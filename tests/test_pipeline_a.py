@@ -65,9 +65,9 @@ def test_unsupervised_loss_train_and_eval():
         num_views=cfg.num_views,
     )
     batch = tiny_batch(cfg)
-    imgs = jnp.asarray(batch["images"])
-    pose_imgs = jnp.asarray(batch["pose_input"])
-    masks = jnp.asarray(batch["masks"])
+    imgs = jnp.asarray(batch["images"], jnp.float32) / 255.0
+    pose_imgs = jnp.asarray(batch["pose_input"], jnp.float32) / 255.0
+    masks = jnp.asarray(batch["masks"], jnp.float32) / 255.0
     params = model.init(jax.random.PRNGKey(0), imgs, pose_imgs)
     out = model.apply(params, imgs, pose_imgs)
     kw = keep_mask(jax.random.PRNGKey(1), cfg.batch_size, cfg.num_points, jnp.float32(0.5))

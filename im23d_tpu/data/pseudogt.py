@@ -103,10 +103,11 @@ class PseudoGTDataset:
         raw = self._load_npz(
             os.path.join(self.cache_dir, f"pseudogt_{res}x{res}", f"{idx}.npz")
         )["data"].item()
-        # cache layout is NCHW fp16 -> NHWC float32
-        to_nhwc = lambda a: np.asarray(a, np.float32).transpose(1, 2, 0)
+        # cache layout is NCHW fp16 -> NHWC; textures stay fp16 on the host
+        # (half the host->device traffic; the trainer casts on device)
+        to_nhwc = lambda a: np.ascontiguousarray(np.asarray(a).transpose(1, 2, 0))
         return {
-            "image": to_nhwc(raw["image"][:3]) / 2.0 + 0.5,
+            "image": to_nhwc(raw["image"][:3]).astype(np.float32) / 2.0 + 0.5,
             "texture": to_nhwc(raw["texture"]),
             "texture_alpha": to_nhwc(raw["texture_alpha"]),
             "mesh": to_nhwc(raw["mesh"]),

@@ -55,6 +55,15 @@ class GANTrainConfig:
     seed: int = 0
 
 
+def _to_f32(batch):
+    """Device-side upcast: pseudo-gt batches travel as fp16 (cache-native)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if x.dtype in (jnp.float16, jnp.bfloat16) else x,
+        batch,
+    )
+
+
 def _tree_ema(avg, new, alpha):
     return jax.tree_util.tree_map(
         lambda a, n: a * alpha + n * (1.0 - alpha), avg, new
@@ -166,6 +175,7 @@ class GANTrainer:
 
         def g_step(g_params, g_stats, d_params, d_stats, opt_g, g_ema,
                    alpha, lr_factor, batch, rng):
+            batch = _to_f32(batch)
             z = jax.random.normal(rng, (batch["alpha"].shape[0], mcfg.latent_dim))
             c = batch.get("c")
             alpha_real = batch["alpha"]
@@ -200,6 +210,7 @@ class GANTrainer:
 
         def d_step(g_params, g_stats, d_params, d_stats, opt_d,
                    lr_factor, batch, rng):
+            batch = _to_f32(batch)
             z = jax.random.normal(rng, (batch["alpha"].shape[0], mcfg.latent_dim))
             c = batch.get("c")
             alpha_real = batch["alpha"]

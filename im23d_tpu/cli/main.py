@@ -148,7 +148,10 @@ def main(argv=None) -> int:
     workdir = os.path.join("gan_weights", args.name)
     trainer = GANTrainer(tcfg, template=template, workdir=workdir)
     if args.continue_train or args.evaluate:
-        trainer.restore()
+        if args.which_epoch not in ("latest", "best"):
+            trainer.restore(step=int(args.which_epoch))
+        elif args.which_epoch == "latest" or not args.evaluate:
+            trainer.restore()
 
     if args.save_results:
         out = os.path.join("results", args.name)
@@ -166,14 +169,41 @@ def main(argv=None) -> int:
 
     if args.evaluate:
         cache_dir = args.cache_dir or os.path.join("cache", args.dataset)
-        evaluator = FIDEvaluator(trainer, template)
-        acts = evaluator.activations_for_batches(
-            eval_batches(), args.truncation_sigma, variants=True
-        )
         stats_path = os.path.join(cache_dir, "precomputed_fid_299x299_train.npz")
         m_real, s_real, _, _ = load_precomputed_stats(stats_path)
-        for key, act in acts.items():
-            print(f"fid/{key}: {evaluator.fid_against_stats(act, m_real, s_real):.3f}")
+        evaluator = FIDEvaluator(trainer, template)
+
+        def fid_now():
+            acts = evaluator.activations_for_batches(
+                eval_batches(), args.truncation_sigma, variants=True
+            )
+            return {
+                key: evaluator.fid_against_stats(act, m_real, s_real)
+                for key, act in acts.items()
+            }
+
+        if args.which_epoch == "best":
+            # sweep all numbered checkpoints for the lowest combined FID
+            # (reference main.py:787-829)
+            from im23d_tpu.core.checkpoint import latest_step
+
+            root = os.path.join(os.path.abspath(workdir), "checkpoints")
+            steps = sorted(
+                int(n.split("_")[1]) for n in os.listdir(root)
+                if n.startswith("step_")
+            )
+            best = (None, float("inf"))
+            for step in steps:
+                trainer.restore(step=step)
+                fid = fid_now()["combined"]
+                print(f"checkpoint {step}: fid/combined {fid:.3f}")
+                if fid < best[1]:
+                    best = (step, fid)
+            print(f"best checkpoint: {best[0]} (fid {best[1]:.3f})")
+            trainer.restore(step=best[0])
+
+        for key, fid in fid_now().items():
+            print(f"fid/{key}: {fid:.3f}")
         return 0
 
     logger = MetricsLogger(workdir, "gan")

@@ -22,3 +22,14 @@ def setup_jax(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax or read-only fs: run without the cache
+
+
+def trace_profile(log_dir: str):
+    """Context manager: capture a jax.profiler trace (TensorBoard-viewable).
+
+    The reference's only tracing is wall-clock prints (SURVEY §5); this gives
+    full XLA op-level traces: ``with trace_profile(dir): run_steps()``.
+    """
+    import jax
+
+    return jax.profiler.trace(log_dir)

@@ -88,10 +88,14 @@ def _interp(schedule: tuple[float, float], frac: jnp.ndarray) -> jnp.ndarray:
 
 
 class ShapeNetLearner:
+    """param_shardings: optional callable (path_str, leaf) -> PartitionSpec
+    for tensor-parallel parameter layouts; None leaves a param replicated."""
+
     def __init__(self, config: ShapeNetConfig, workdir: str | None = None,
-                 mesh=None):
+                 mesh=None, param_shardings=None):
         self.cfg = config
         self.workdir = workdir
+        self.param_shardings = param_shardings
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = UnsupervisedPart(
             num_points=config.num_points,
@@ -117,7 +121,20 @@ class ShapeNetLearner:
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx
         )
-        return jax.device_put(state, replicated(self.mesh))
+        state = jax.device_put(state, replicated(self.mesh))
+        if self.param_shardings is not None:
+            from jax.sharding import NamedSharding
+
+            def place(path, leaf):
+                spec = self.param_shardings(jax.tree_util.keystr(path), leaf)
+                if spec is None:
+                    return leaf
+                return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+
+            state = state.replace(
+                params=jax.tree_util.tree_map_with_path(place, state.params)
+            )
+        return state
 
     # -- compiled steps ----------------------------------------------------
 
@@ -173,9 +190,11 @@ class ShapeNetLearner:
                 new_state = state.apply_gradients(grads=grads)
                 return new_state, losses, aux["min_indexes"]
 
+            # state sharding is inferred from the actual arrays so tensor-
+            # parallel parameter layouts (param_shardings) are respected
             return jax.jit(
                 step_fn,
-                in_shardings=(repl, batch_shd, repl),
+                in_shardings=(None, batch_shd, None),
                 donate_argnums=(0,),
             )
 
@@ -186,7 +205,7 @@ class ShapeNetLearner:
             )
             return losses
 
-        return jax.jit(eval_fn, in_shardings=(repl, batch_shd, repl))
+        return jax.jit(eval_fn, in_shardings=(None, batch_shd, None))
 
     # -- public API ---------------------------------------------------------
 
@@ -263,9 +282,41 @@ class ShapeNetLearner:
             if step % cfg.eval_every == 0:
                 if valid_batches is not None:
                     self.evaluate(valid_batches)
+                if self.logger:
+                    self.log_projection_grid(batch_dev, step)
                 if self.workdir:
                     self.save()
         return {k: float(v) for k, v in losses.items()}
+
+    def log_projection_grid(self, batch, step: int) -> None:
+        """Render the current student projections next to the target masks
+        (reference ``generate_image_projections``, ``:115-134``)."""
+        import numpy as np
+
+        from im23d_tpu.losses.effective import unsupervised_loss
+
+        nb = self._normalize(batch)
+        out = self.state.apply_fn(
+            self.state.params, nb["images"], nb["pose_input"]
+        )
+        _, sigma = self._schedules(self.state.step)
+        _, aux = unsupervised_loss(
+            out, nb["masks"], sigma, None, self.cfg.num_views,
+            voxel_size=self.cfg.voxel_size, training=False,
+        )
+        proj = np.asarray(aux["projection"])[:8]
+        masks = np.asarray(
+            jax.device_get(nb["masks"])
+        )[:8]
+        # target masks on the top row, projections below
+        from im23d_tpu.ops.sampling import resize_bilinear
+
+        masks_s = np.asarray(
+            resize_bilinear(jnp.asarray(masks), proj.shape[1], proj.shape[2])
+        )
+        self.logger.log_images(
+            step, "renders", np.concatenate([masks_s, proj], axis=0), nrow=8
+        )
 
     def evaluate(self, valid_batches) -> dict:
         import numpy as np

@@ -104,6 +104,10 @@ def rasterize(
     neg_big = jnp.asarray(-1e9, dt)
 
     def chunk_step(carry, inputs):
+        # Gather-free formulation: the per-pixel winner is expressed as a
+        # {0,1} mask and the attribute interpolation as a batched matmul
+        # (B, HW, C) @ (B, C, A) — argmax+gather versions defeat XLA fusion
+        # and materialize dozens of (B, C, H, W) buffers (~60x slower).
         best_z, best_feat, log_miss = carry
         cfv, cattr = inputs  # (B, C, 3, 3), (B, C, 3, A)
         x = cfv[..., 0][..., None, None]  # (B, C, 3, 1, 1)
@@ -141,19 +145,23 @@ def rasterize(
         )
         z_masked = jnp.where(inside, z, neg_big)
 
-        # chunk-local winner per pixel
-        idx = jax.lax.stop_gradient(jnp.argmax(z_masked, axis=1))  # (B, H, W)
-        take_pix = lambda t: jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
-        cz = take_pix(z_masked)  # (B, H, W)
-        bw0, bw1, bw2 = take_pix(w0), take_pix(w1), take_pix(w2)
-        # gather the winning face's corner attributes: (B, H*W, 3, A)
-        ga = jax.vmap(lambda ca, ix: ca[ix])(cattr, idx.reshape(B, -1))
-        ga = ga.reshape(B, height, width, 3, A)
+        # chunk winner as a mask (ties share an edge: their interpolated
+        # attributes agree, and the count-normalization below averages them)
+        cz = jnp.max(z_masked, axis=1)  # (B, H, W)
+        wsel = jax.lax.stop_gradient(
+            inside & (z_masked >= cz[:, None])
+        ).astype(z.dtype)  # (B, C, H, W)
+        cnt = jnp.maximum(jnp.sum(wsel, axis=1), 1.0)  # (B, H, W)
+
+        # (B, C, HW) weighted winner masks per corner
+        m0 = (w0 * wsel).reshape(B, w0.shape[1], -1)
+        m1 = (w1 * wsel).reshape(B, w0.shape[1], -1)
+        m2 = (w2 * wsel).reshape(B, w0.shape[1], -1)
         cfeat = (
-            bw0[..., None] * ga[..., 0, :]
-            + bw1[..., None] * ga[..., 1, :]
-            + bw2[..., None] * ga[..., 2, :]
-        )  # (B, H, W, A)
+            jnp.einsum("bcp,bca->bpa", m0, cattr[:, :, 0, :])
+            + jnp.einsum("bcp,bca->bpa", m1, cattr[:, :, 1, :])
+            + jnp.einsum("bcp,bca->bpa", m2, cattr[:, :, 2, :])
+        ).reshape(B, height, width, A) / cnt[..., None]
 
         better = cz > best_z
         best_feat = jnp.where(better[..., None], cfeat, best_feat)
@@ -180,8 +188,11 @@ def rasterize(
         jnp.zeros((B, height, width, A), dt),
         jnp.zeros((B, height, width), dt),
     )
+    # remat: without it the scan's backward stores every chunk's (B, C, H, W)
+    # edge-function intermediates (tens of GB at recon scale); recomputing
+    # them in the backward pass keeps residuals at carry size
     (best_z, best_feat, log_miss), _ = jax.lax.scan(
-        chunk_step, init, (fv_c, at_c)
+        jax.checkpoint(chunk_step, prevent_cse=False), init, (fv_c, at_c)
     )
     covered = best_z > neg_big * 0.5
     feat = jnp.where(covered[..., None], best_feat, 0.0)

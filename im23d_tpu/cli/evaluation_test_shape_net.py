@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     print(f"restored step {int(learner.state.step)}")
 
     if args.synthetic:
-        from im23d_tpu.data.synthetic import SyntheticSilhouettes, _random_shapes
+        from im23d_tpu.data.synthetic import SyntheticSilhouettes
 
         data = SyntheticSilhouettes(cfg.batch_size, cfg.image_size,
                                     cfg.num_views, n_points=512, seed=1)

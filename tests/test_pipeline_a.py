@@ -173,3 +173,27 @@ def test_schedule_endpoints():
     np.testing.assert_allclose(float(p1), cfg.p_schedule[1], atol=1e-6)
     np.testing.assert_allclose(float(s0), cfg.sigma_schedule[0], atol=1e-6)
     np.testing.assert_allclose(float(s1), cfg.sigma_schedule[1], atol=1e-6)
+
+
+def test_supervised_part_and_loss():
+    from im23d_tpu.losses.effective import supervised_loss
+    from im23d_tpu.models.pointcloud_nets import SupervisedPart
+
+    cfg = tiny_config()
+    model = SupervisedPart(num_points=cfg.num_points)
+    B, V, H = cfg.batch_size, cfg.num_views, cfg.image_size
+    imgs = jnp.zeros((B, H, H, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(params, imgs)
+    assert out["point_cloud"].shape == (B, cfg.num_points, 3)
+
+    rng = np.random.RandomState(0)
+    poses = rng.randn(B * V, 4).astype(np.float32)
+    poses /= np.linalg.norm(poses, axis=-1, keepdims=True)
+    masks = jnp.asarray(rng.rand(B * V, H, H).astype(np.float32))
+    losses, aux = supervised_loss(
+        out, jnp.asarray(poses), masks, jnp.float32(1.5), None,
+        cfg.num_views, voxel_size=cfg.voxel_size,
+    )
+    assert np.isfinite(float(losses["total_loss"]))
+    assert aux["projection"].shape == (B * V, cfg.voxel_size, cfg.voxel_size)

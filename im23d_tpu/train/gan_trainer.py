@@ -53,6 +53,11 @@ class GANTrainConfig:
     lr_decay_after: int = 1000
     batch_size: int = 32
     seed: int = 0
+    # text conditioning (reference --conditional_text path, main.py:51-55;
+    # the encoder here is frozen, matching the reference's default
+    # pretrained/no-finetune mode, main.py:560-568)
+    text_vocab_size: int = 5450
+    text_max_length: int = 18
 
 
 def _to_f32(batch):
@@ -84,6 +89,15 @@ class GANTrainer:
 
         self.generator = Generator(self.mcfg, mesh_head=self.use_mesh)
         self.discriminator = MultiScaleDiscriminator(self.mcfg)
+        self.text_encoder = None
+        if self.mcfg.conditional_text:
+            from im23d_tpu.models.text_encoder import TextEncoder
+
+            self.text_encoder = TextEncoder(
+                vocab_size=config.text_vocab_size,
+                embedding_dim=self.mcfg.text_embedding_dim,
+                hidden_dim=self.mcfg.text_embedding_dim // 2,
+            )
 
         self._rng = jax.random.PRNGKey(config.seed)
         self._init_states()
@@ -98,6 +112,10 @@ class GANTrainer:
         cfg = self.mcfg
         z = jnp.zeros((B, cfg.latent_dim))
         c = jnp.zeros((B, 2), jnp.int32) if cfg.conditional_class else None
+        self._example_caption = (
+            jnp.zeros((B, self.cfg.text_max_length), jnp.int32)
+            if cfg.conditional_text else None
+        )
         tex_res = cfg.texture_resolution
         x = jnp.zeros((B, tex_res, tex_res, 4))
         mesh_map = (
@@ -112,12 +130,24 @@ class GANTrainer:
         z, c, x, mesh_map = self._example_inputs()
         # jit the inits: eager init dispatches op-by-op, which is minutes of
         # round-trips on a remote TPU tunnel
+        caption = None
+        if self.text_encoder is not None:
+            te_vars = jax.jit(self.text_encoder.init)(
+                jax.random.fold_in(self._rng, 7), self._example_caption
+            )
+            self.te_params = te_vars["params"]
+            words, _ = self.text_encoder.apply(te_vars, self._example_caption)
+            caption = (words, self._example_caption == 0)
+        else:
+            self.te_params = {}
         g_vars = jax.jit(
-            lambda r, z_, c_: self.generator.init(r, z_, c_, train=False)
-        )(self._rng, z, c)
+            lambda r, z_, c_, cap: self.generator.init(r, z_, c_, cap, train=False)
+        )(self._rng, z, c, caption)
         d_vars = jax.jit(
-            lambda r, x_, m_, c_: self.discriminator.init(r, x_, m_, c_, train=False)
-        )(jax.random.fold_in(self._rng, 1), x, mesh_map, c)
+            lambda r, x_, m_, c_, cap: self.discriminator.init(
+                r, x_, m_, c_, train=False, caption=cap
+            )
+        )(jax.random.fold_in(self._rng, 1), x, mesh_map, c, caption)
         self.g_params = g_vars["params"]
         self.g_stats = g_vars.get("batch_stats", {})
         self.d_params = d_vars["params"]
@@ -139,7 +169,7 @@ class GANTrainer:
 
         repl = replicated(self.mesh)
         for name in ("g_params", "g_stats", "d_params", "d_stats", "g_ema",
-                     "opt_g", "opt_d"):
+                     "opt_g", "opt_d", "te_params"):
             setattr(self, name, jax.device_put(getattr(self, name), repl))
 
     def _d_weights(self):
@@ -159,32 +189,44 @@ class GANTrainer:
         batch_shd = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
 
-        def gen_apply(g_params, g_stats, z, c, train):
+        def encode_caption(te_params, batch):
+            """Frozen text encoder -> (word features, padding mask)."""
+            tokens = batch.get("caption")
+            if tokens is None or self.text_encoder is None:
+                return None
+            words, _ = self.text_encoder.apply({"params": te_params}, tokens)
+            return (jax.lax.stop_gradient(words), tokens == 0)
+
+        def gen_apply(g_params, g_stats, z, c, caption, train):
             out, new = self.generator.apply(
                 {"params": g_params, "batch_stats": g_stats},
-                z, c, train=train, mutable=["batch_stats"],
+                z, c, caption, train=train, mutable=["batch_stats"],
             )
             return out, new["batch_stats"]
 
-        def disc_apply(d_params, d_stats, x, mesh_map, c, train):
+        def disc_apply(d_params, d_stats, x, mesh_map, c, caption, train):
             (preds, masks), new = self.discriminator.apply(
                 {"params": d_params, "batch_stats": d_stats},
-                x, mesh_map, c, train=train, mutable=["batch_stats"],
+                x, mesh_map, c, train=train, caption=caption,
+                mutable=["batch_stats"],
             )
             return preds, masks, new["batch_stats"]
 
         def g_step(g_params, g_stats, d_params, d_stats, opt_g, g_ema,
-                   alpha, lr_factor, batch, rng):
+                   alpha, lr_factor, batch, rng, te_params):
             batch = _to_f32(batch)
             z = jax.random.normal(rng, (batch["alpha"].shape[0], mcfg.latent_dim))
             c = batch.get("c")
+            caption = encode_caption(te_params, batch)
             alpha_real = batch["alpha"]
 
             def loss_fn(params):
-                (tex, mesh_map), new_gstats = gen_apply(params, g_stats, z, c, True)
+                (tex, mesh_map), new_gstats = gen_apply(
+                    params, g_stats, z, c, caption, True
+                )
                 x_fake = jnp.concatenate([tex * alpha_real, alpha_real], axis=-1)
                 preds, masks, new_dstats = disc_apply(
-                    d_params, d_stats, x_fake, mesh_map, c, True
+                    d_params, d_stats, x_fake, mesh_map, c, caption, True
                 )
                 loss_gan = gan_loss(preds, True, for_discriminator=False,
                                     masks=masks, weights=d_weight, mode=cfg.loss)
@@ -209,13 +251,16 @@ class GANTrainer:
                     dict(g_loss=loss_gan, flat_loss=flat))
 
         def d_step(g_params, g_stats, d_params, d_stats, opt_d,
-                   lr_factor, batch, rng):
+                   lr_factor, batch, rng, te_params):
             batch = _to_f32(batch)
             z = jax.random.normal(rng, (batch["alpha"].shape[0], mcfg.latent_dim))
             c = batch.get("c")
+            caption = encode_caption(te_params, batch)
             alpha_real = batch["alpha"]
             # generator runs in train mode but without G gradients
-            (tex, mesh_map), new_gstats = gen_apply(g_params, g_stats, z, c, True)
+            (tex, mesh_map), new_gstats = gen_apply(
+                g_params, g_stats, z, c, caption, True
+            )
             tex = jax.lax.stop_gradient(tex)
             mesh_map = jax.lax.stop_gradient(mesh_map) if mesh_map is not None else None
             x_fake = jnp.concatenate([tex * alpha_real, alpha_real], axis=-1)
@@ -227,9 +272,16 @@ class GANTrainer:
             else:
                 mesh_comb = None
 
+            caption_comb = None
+            if caption is not None:
+                caption_comb = (
+                    jnp.concatenate([caption[0], caption[0]], axis=0),
+                    jnp.concatenate([caption[1], caption[1]], axis=0),
+                )
+
             def loss_fn(params):
                 preds, masks, new_dstats = disc_apply(
-                    params, d_stats, x_comb, mesh_comb, c_comb, True
+                    params, d_stats, x_comb, mesh_comb, c_comb, caption_comb, True
                 )
                 B = x_fake.shape[0]
                 fake_preds = [p[:B] for p in preds]
@@ -254,23 +306,23 @@ class GANTrainer:
         # donate only the buffers each step returns updated versions of
         self._g_step = jax.jit(
             g_step,
-            in_shardings=(repl,) * 6 + (None, None, batch_shd, repl),
+            in_shardings=(repl,) * 6 + (None, None, batch_shd, repl, repl),
             donate_argnums=(0, 1, 3, 4, 5),
         )
         self._d_step = jax.jit(
             d_step,
-            in_shardings=(repl,) * 5 + (None, batch_shd, repl),
+            in_shardings=(repl,) * 5 + (None, batch_shd, repl, repl),
             donate_argnums=(1, 2, 3, 4),
         )
 
-        def inference(g_ema, z, c):
+        def inference(g_ema, z, c, caption):
             (tex, mesh_map), _ = self.generator.apply(
                 {"params": g_ema["params"], "batch_stats": g_ema["batch_stats"]},
-                z, c, train=False, mutable=["batch_stats"],
+                z, c, caption, train=False, mutable=["batch_stats"],
             )
             return tex, mesh_map
 
-        self._inference = jax.jit(inference, in_shardings=(repl, batch_shd, batch_shd if self.mcfg.conditional_class else None))
+        self._inference = jax.jit(inference)
 
     # -- public API --------------------------------------------------------
 
@@ -301,21 +353,27 @@ class GANTrainer:
              self.g_ema, losses) = self._g_step(
                 self.g_params, self.g_stats, self.d_params, self.d_stats,
                 self.opt_g, self.g_ema, jnp.float32(self._ema_alpha()),
-                lr_factor, batch, rng,
+                lr_factor, batch, rng, self.te_params,
             )
         else:
             (self.d_params, self.d_stats, self.g_stats, self.opt_d, losses) = (
                 self._d_step(
                     self.g_params, self.g_stats, self.d_params, self.d_stats,
-                    self.opt_d, lr_factor, batch, rng,
+                    self.opt_d, lr_factor, batch, rng, self.te_params,
                 )
             )
         self.total_it += 1
         return losses
 
-    def generate(self, z, c=None):
+    def generate(self, z, c=None, caption_tokens=None):
         """EMA-generator inference (reference 'inference' mode)."""
-        return self._inference(self.g_ema, z, c)
+        caption = None
+        if caption_tokens is not None and self.text_encoder is not None:
+            words, _ = self.text_encoder.apply(
+                {"params": self.te_params}, jnp.asarray(caption_tokens)
+            )
+            caption = (words, jnp.asarray(caption_tokens) == 0)
+        return self._inference(self.g_ema, z, c, caption)
 
     def truncation_sample(self, rng, n: int, sigma: float):
         """Truncation-trick rejection sampling (``main.py:245-253``):
@@ -336,6 +394,7 @@ class GANTrainer:
             g_params=self.g_params, g_stats=self.g_stats,
             d_params=self.d_params, d_stats=self.d_stats,
             g_ema=self.g_ema, opt_g=self.opt_g, opt_d=self.opt_d,
+            te_params=self.te_params,
             total_it=self.total_it, epoch=self.epoch,
         )
 
@@ -350,7 +409,7 @@ class GANTrainer:
             step = latest_step(workdir)
         tree = restore_checkpoint(workdir, step, self._state_tree())
         for k in ("g_params", "g_stats", "d_params", "d_stats", "g_ema",
-                  "opt_g", "opt_d"):
+                  "opt_g", "opt_d", "te_params"):
             setattr(self, k, jax.device_put(tree[k], replicated(self.mesh)))
         self.total_it = int(tree["total_it"])
         self.epoch = int(tree["epoch"])

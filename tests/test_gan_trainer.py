@@ -79,3 +79,34 @@ def test_gan_checkpoint_roundtrip(trainer, tmp_path):
     assert trainer.total_it == it
     p1 = np.asarray(jax.tree_util.tree_leaves(trainer.g_params)[0])
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_gan_text_conditional_steps():
+    from im23d_tpu.models.gan import GANConfig
+    from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    cfg = GANTrainConfig(
+        model=GANConfig(texture_resolution=128, conditional_text=True,
+                        text_embedding_dim=32),
+        batch_size=2, text_vocab_size=50, text_max_length=6,
+    )
+    t = GANTrainer(
+        cfg, template=MeshTemplate(segments=8, rings=4),
+        mesh=make_mesh(jax.devices()[:1]),
+    )
+    rng = np.random.RandomState(0)
+    batch = dict(
+        texture=rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1,
+        alpha=(rng.rand(2, 128, 128, 1) > 0.4).astype(np.float32),
+        mesh=rng.randn(2, 32, 32, 3).astype(np.float32) * 0.02,
+        caption=rng.randint(0, 50, (2, 6)).astype(np.int32),
+    )
+    l0 = t.train_step(batch)  # G
+    assert np.isfinite(float(l0["g_loss"]))
+    l1 = t.train_step(batch)  # D
+    assert np.isfinite(float(l1["d_fake"]))
+    tex, mesh = t.generate(
+        jnp.zeros((2, cfg.model.latent_dim)),
+        caption_tokens=batch["caption"],
+    )
+    assert tex.shape == (2, 128, 128, 3)

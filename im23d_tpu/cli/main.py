@@ -74,6 +74,7 @@ def load_dataset(args):
         texture_resolution=args.texture_resolution,
         evaluate=args.evaluate,
         conditional_class=args.conditional_class,
+        conditional_text=args.conditional_text,
     )
     if args.dataset == "cub":
         assert not args.conditional_color, "Not supported"
@@ -138,6 +139,7 @@ def main(argv=None) -> int:
     )
     tcfg = GANTrainConfig(
         model=mcfg, lr_g=args.lr_g, lr_d=args.lr_d,
+        text_vocab_size=max(getattr(ds, "n_words", 0), 2),
         d_steps_per_g=args.d_steps_per_g,
         g_ema_alpha=args.g_running_average_alpha,
         mesh_regularization=args.mesh_regularization,

@@ -34,13 +34,25 @@ class PseudoGTDataset:
 
     def __init__(self, cache_dir: str, texture_resolution: int = 512,
                  augment: bool = True, evaluate: bool = False,
-                 conditional_class: bool = False, seed: int = 0):
+                 conditional_class: bool = False,
+                 conditional_text: bool = False, seed: int = 0):
         self.cache_dir = cache_dir
         self.texture_resolution = texture_resolution
         self.augment = augment
         self.evaluate = evaluate
         self.conditional_class = conditional_class
+        self.conditional_text = conditional_text
         self._rng = np.random.RandomState(seed)
+
+        self.caption_tokens = None
+        self.n_words = 0
+        if conditional_text:
+            # tokenized caption cache: tokens (N, E, L) int32 (E captions per
+            # image, 0-padded) + n_words (the reference reads its equivalent
+            # through a pickled text_processor in cache/, main.py:539 path)
+            cap = np.load(os.path.join(cache_dir, "captions_tokens.npz"))
+            self.caption_tokens = cap["tokens"].astype(np.int32)
+            self.n_words = int(cap["n_words"])
 
         meta = np.load(os.path.join(cache_dir, "poses_metadata.npz"),
                        allow_pickle=True)
@@ -120,6 +132,9 @@ class PseudoGTDataset:
             item = {k: mirror_tex_nhwc(v) for k, v in item.items()}
         if self.conditional_class:
             item["c"] = np.asarray(self.classes[idx], np.int32)
+        if self.caption_tokens is not None:
+            e = self._rng.randint(self.caption_tokens.shape[1])
+            item["caption"] = self.caption_tokens[idx, e]
         item["idx"] = np.int32(idx)
         return item
 
@@ -268,4 +283,6 @@ def gan_batch_iterator(dataset: PseudoGTDataset, batch_size: int,
         )
         if "c" in items[0]:
             batch["c"] = np.stack([it["c"] for it in items])
+        if "caption" in items[0]:
+            batch["caption"] = np.stack([it["caption"] for it in items])
         yield batch

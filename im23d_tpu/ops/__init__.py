@@ -4,6 +4,9 @@ Every op here is shape-static, jit-safe and differentiable unless noted.
 """
 
 from im23d_tpu.ops.quaternion import (
+    qadd,
+    qsub,
+    qsquare,
     qmul,
     qconj,
     qnormalize,
@@ -34,6 +37,9 @@ from im23d_tpu.ops.pointcloud import (
 )
 
 __all__ = [
+    "qadd",
+    "qsub",
+    "qsquare",
     "qmul",
     "qconj",
     "qnormalize",

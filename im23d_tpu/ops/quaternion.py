@@ -41,6 +41,24 @@ def qmul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def qadd(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Componentwise quaternion addition (reference ``operations.py:15-42``)."""
+    return q1 + q2
+
+
+def qsub(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Componentwise quaternion subtraction (reference ``operations.py:44-66``)."""
+    return q1 - q2
+
+
+def qsquare(q: jnp.ndarray) -> jnp.ndarray:
+    """q*q via the closed form (reference ``operations.py:99-118``)."""
+    w = q[..., :1]
+    vec = q[..., 1:]
+    w2 = w * w - jnp.sum(vec * vec, axis=-1, keepdims=True)
+    return jnp.concatenate([w2, 2.0 * w * vec], axis=-1)
+
+
 def qconj(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion conjugate (w, -x, -y, -z).
 

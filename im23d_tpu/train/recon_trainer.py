@@ -272,6 +272,47 @@ class ReconTrainer:
         """images (B,H,W,4) -> (texture, mesh_map)."""
         return self._infer(self.params, self.batch_stats, jnp.asarray(images))
 
+    def render_multiview(self, raw_vtx, pred_tex, idx: int = 0,
+                         angles=(0, 45, 90, 135, 180, 225, 270, 315)):
+        """Render one reconstructed mesh from 8 canonical viewpoints and
+        arrange a 2x4 grid (reference ``render_multiview``,
+        ``run_reconstruction.py:188-221``). Returns (2H, 4W, 3) in [0, 1]."""
+        import math
+
+        import numpy as np
+
+        from im23d_tpu.ops.quaternion import qmul
+
+        rad = -90 / 180 * math.pi
+        q0 = jnp.asarray([math.cos(-rad / 2), 0.0, 0.0, math.sin(-rad / 2)])
+        rad = 110 / 180 * math.pi
+        q1 = jnp.asarray([math.cos(-rad / 2), 0.0, math.sin(-rad / 2), 0.0])
+        q0 = qmul(q0, q1)
+        rots = []
+        for angle in angles:
+            rad = angle / 180 * math.pi * 0.8
+            q = jnp.asarray([math.cos(-rad / 2), 0.0, 0.0, math.sin(-rad / 2)])
+            rots.append(qmul(q0, q))
+        rot = jnp.stack(rots)  # (8, 4)
+
+        n = rot.shape[0]
+        vtx = jnp.broadcast_to(raw_vtx[idx][None], (n, *raw_vtx.shape[1:]))
+        tex = jnp.broadcast_to(pred_tex[idx][None], (n, *pred_tex.shape[1:]))
+        from im23d_tpu.ops.quaternion import qrot as _qrot
+
+        v = _qrot(rot, vtx) * 0.9
+        v = v * jnp.asarray([1.0, -1.0, -1.0])
+        uvs, tex_adj = self.template.adjust_uv_and_texture(tex / 2.0 + 0.5)
+        res = self.cfg.image_resolution
+        image, _, _ = render_mesh(
+            v, self.template.faces_j, uvs, self.template.face_uvs_j,
+            tex_adj, res, res,
+        )
+        img = np.asarray(jnp.clip(image, 0.0, 1.0))
+        rows = [np.concatenate(list(img[i * 4:(i + 1) * 4]), axis=1)
+                for i in range(n // 4)]
+        return np.concatenate(rows, axis=0)
+
     def evaluate(self, batches) -> dict:
         totals: dict[str, float] = {}
         n = 0

@@ -119,3 +119,19 @@ def test_qmul_jit_and_grad():
     g = jax.grad(f)(jnp.ones((2, 4)), jnp.ones((2, 4)))
     assert g.shape == (2, 4)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_qadd_qsub_qsquare():
+    from im23d_tpu.ops import qadd, qsquare, qsub
+
+    rng = np.random.RandomState(7)
+    q1 = rng.randn(4, 4).astype(np.float32)
+    q2 = rng.randn(4, 4).astype(np.float32)
+    np.testing.assert_allclose(qadd(jnp.array(q1), jnp.array(q2)), q1 + q2)
+    np.testing.assert_allclose(qsub(jnp.array(q1), jnp.array(q2)), q1 - q2)
+    # square == qmul(q, q)
+    np.testing.assert_allclose(
+        np.asarray(qsquare(jnp.array(q1))),
+        np.asarray(qmul(jnp.array(q1), jnp.array(q1))),
+        atol=1e-5,
+    )

@@ -120,3 +120,13 @@ def test_lr_schedule(trainer):
     trainer.epoch = 500
     assert trainer._lr_factor() == 0.25
     trainer.epoch = 0
+
+
+def test_render_multiview_grid(trainer):
+    batch = recon_batch(seed=4)
+    tex, mesh_map = trainer.predict(batch["image"])
+    raw_vtx = trainer.template.get_vertex_positions(mesh_map)
+    grid = trainer.render_multiview(raw_vtx, tex, idx=0)
+    assert grid.shape == (2 * 64, 4 * 64, 3)
+    assert np.isfinite(grid).all()
+    assert grid.max() <= 1.0 and grid.min() >= 0.0

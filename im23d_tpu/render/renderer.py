@@ -9,10 +9,19 @@ orthographic projection of NDC vertices, DIB-R-style rasterization of
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from im23d_tpu.ops.sampling import grid_sample_bilinear
 from im23d_tpu.render.rasterizer import rasterize
+from im23d_tpu.render.rasterizer_pallas import rasterize_tiled
+
+
+def _rasterize(verts, faces, attrs, height, width, sigma, cull_backfaces):
+    """Tiled Pallas kernel on TPU (fwd + custom VJP), XLA reference elsewhere."""
+    impl = rasterize_tiled if jax.default_backend() == "tpu" else rasterize
+    return impl(verts, faces, attrs, height, width, sigma=sigma,
+                cull_backfaces=cull_backfaces)
 
 
 def fragment_shader(
@@ -70,8 +79,8 @@ def render_mesh(
     mask_attr = jnp.ones((B, F, 3, 1), verts.dtype)
     attrs = jnp.concatenate([uv_corners, mask_attr], axis=-1)  # (B, F, 3, 3)
 
-    feat, soft = rasterize(verts, faces, attrs, height, width, sigma=sigma,
-                           cull_backfaces=cull_backfaces)
+    feat, soft = _rasterize(verts, faces, attrs, height, width, sigma,
+                            cull_backfaces)
     texcoords = feat[..., :2]
     hardmask = feat[..., 2:3]
 

@@ -124,11 +124,18 @@ class ReconTrainer:
         self.opt = self.tx.init(self.params)
 
         if self.use_dp:
-            mode = "deltas" if cfg.optimize_deltas else "z0"
-            dpv = jax.jit(
-                lambda r, i: self.dp_model.init(r, i, mode)
-            )(self._rng, jnp.zeros((1,), jnp.int32))
-            self.dp_params = dpv["params"]
+            # flax creates params per executed branch: when both deltas and
+            # z0 refinement are on, init both modes and merge the (disjoint)
+            # param dicts
+            idx0 = jnp.zeros((1,), jnp.int32)
+            self.dp_params = {}
+            for mode, on in (("deltas", cfg.optimize_deltas),
+                             ("z0", cfg.optimize_z0)):
+                if on:
+                    dpv = jax.jit(
+                        lambda r, i, m=mode: self.dp_model.init(r, i, m)
+                    )(self._rng, idx0)
+                    self.dp_params.update(dpv["params"])
             self.tx_dp = optax.adam(cfg.lr_dataset)
             self.opt_dp = self.tx_dp.init(self.dp_params)
         else:

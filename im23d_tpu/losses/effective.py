@@ -134,9 +134,20 @@ def unsupervised_loss(
     student_q = outputs["student_q"]  # (B*V, 4)
     K = ensemble_q.shape[1]
 
+    # The min-over-candidates only backpropagates through the argmin
+    # candidate, so the K-way projection runs under stop_gradient (forward
+    # only, no residuals) and the selected candidate is re-projected
+    # differentiably — identical values and gradients, 1/K the backward
+    # work (K*V = 20x fewer clouds in the grad path than the reference's
+    # repeat-everything formulation).
     quats = ensemble_q.reshape(B, V * K, 4)
     sil = project_candidates(
-        cloud, quats, sigma, scale=scale, weights=keep_weights, voxel_size=S
+        jax.lax.stop_gradient(cloud),
+        jax.lax.stop_gradient(quats),
+        sigma,
+        scale=jax.lax.stop_gradient(scale),
+        weights=keep_weights,
+        voxel_size=S,
     )  # (B, V*K, S, S)
     sil = sil.reshape(B * V, K, S, S)
 
@@ -144,14 +155,23 @@ def unsupervised_loss(
         (sil - masks_s[:, None]) ** 2, axis=(2, 3)
     )  # (B*V, K)
     min_idx = jnp.argmin(per_candidate, axis=-1)  # (B*V,)
-    min_loss = jnp.take_along_axis(per_candidate, min_idx[:, None], axis=1)[:, 0]
-    projection_loss = jnp.sum(min_loss) / (B * V)
 
     best_q = jnp.take_along_axis(
         ensemble_q, min_idx[:, None, None].repeat(4, axis=-1), axis=1
-    )[:, 0]  # (B*V, 4)
-    best_q = jax.lax.stop_gradient(best_q)
-    student_loss = jnp.sum(quaternion_angle_loss(best_q, student_q)) / (B * V)
+    )[:, 0]  # (B*V, 4), gradients flow to the selected ensemble head
+    cloud_v = jnp.repeat(cloud, V, axis=0)          # (B*V, N, 3)
+    scale_v = jnp.repeat(scale.reshape(B), V, axis=0)
+    w_v = None if keep_weights is None else jnp.repeat(keep_weights, V, axis=0)
+    sil_sel = project_candidates(
+        cloud_v, best_q[:, None], sigma, scale=scale_v, weights=w_v,
+        voxel_size=S,
+    )[:, 0]  # (B*V, S, S)
+    min_loss = jnp.sum((sil_sel - masks_s) ** 2, axis=(1, 2))
+    projection_loss = jnp.sum(min_loss) / (B * V)
+
+    student_loss = jnp.sum(
+        quaternion_angle_loss(jax.lax.stop_gradient(best_q), student_q)
+    ) / (B * V)
 
     total = projection_loss + student_weight * student_loss
     losses = dict(

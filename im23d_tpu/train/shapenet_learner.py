@@ -179,9 +179,15 @@ class ShapeNetLearner:
         batch_shd = batch_sharded(mesh)
         repl = replicated(mesh)
 
+        base_rng = self._base_rng
+
         if training:
 
-            def step_fn(state, batch, rng):
+            def step_fn(state, batch):
+                # rng derived from the traced step counter: no host-side
+                # int(state.step) fetch (a full device sync per step on the
+                # remote-TPU path) and the whole run stays one executable
+                rng = jax.random.fold_in(base_rng, state.step)
                 p, sigma = self._schedules(state.step)
                 grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
                 (_, (losses, aux)), grads = grad_fn(
@@ -194,34 +200,32 @@ class ShapeNetLearner:
             # parallel parameter layouts (param_shardings) are respected
             return jax.jit(
                 step_fn,
-                in_shardings=(None, batch_shd, None),
+                in_shardings=(None, batch_shd),
                 donate_argnums=(0,),
             )
 
-        def eval_fn(state, batch, rng):
+        def eval_fn(state, batch):
+            rng = jax.random.fold_in(base_rng, 2**30 + state.step)
             p, sigma = self._schedules(state.step)
             _, (losses, _) = self._loss_fn(
                 state.params, batch, rng, p, sigma, False
             )
             return losses
 
-        return jax.jit(eval_fn, in_shardings=(None, batch_shd, None))
+        return jax.jit(eval_fn, in_shardings=(None, batch_shd))
 
     # -- public API ---------------------------------------------------------
 
     def train_step(self, batch: dict, already_on_device: bool = False) -> dict:
-        step = int(self.state.step)
-        rng = jax.random.fold_in(self._base_rng, step)
         if not already_on_device:
             batch = shard_batch_pytree(batch, self.mesh)
-        self.state, losses, min_idx = self._train_step(self.state, batch, rng)
+        self.state, losses, min_idx = self._train_step(self.state, batch)
         self._last_min_idx = min_idx
         return losses
 
     def eval_step(self, batch: dict) -> dict:
-        rng = jax.random.fold_in(self._base_rng, 2**30 + int(self.state.step))
         batch = shard_batch_pytree(batch, self.mesh)
-        return self._eval_step(self.state, batch, rng)
+        return self._eval_step(self.state, batch)
 
     def save(self, workdir: str | None = None) -> str:
         workdir = workdir or self.workdir

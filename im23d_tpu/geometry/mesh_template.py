@@ -16,10 +16,11 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from im23d_tpu.geometry.objio import Mesh, load_obj, save_obj, uv_sphere
-from im23d_tpu.ops.sampling import circpad, grid_sample_bilinear
+from im23d_tpu.ops.sampling import circpad
 
 
 def _face_adjacency(faces: np.ndarray) -> np.ndarray:
@@ -136,6 +137,7 @@ class MeshTemplate:
         self.neg_idx_j = jnp.asarray(self.neg_indices)
         self.pos_idx_j = jnp.asarray(self.pos_indices)
         self.ff_j = jnp.asarray(self.ff)
+        self._vertex_sampler_cache: dict[tuple[int, int], jnp.ndarray] = {}
 
     # ---- device-side pure functions -------------------------------------
 
@@ -158,24 +160,67 @@ class MeshTemplate:
             jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
         )
 
+    def _vertex_sampler(self, H: int, W: int) -> jnp.ndarray:
+        """Static bilinear sampling matrix (Vn, H*W) for the displacement map.
+
+        The topo UVs are template constants, so the circular-pad +
+        UV-shift + align_corners bilinear gather of ``get_vertex_positions``
+        collapses into one precomputed 4-nnz-per-row matrix; the on-device
+        sample becomes a single small matmul.  XLA's TPU gather lowering
+        serializes per index (~100 ms per call at inference scale); the
+        matmul is microseconds.
+        """
+        key = (H, W)
+        cached = self._vertex_sampler_cache.get(key)
+        if cached is not None:
+            return cached
+        topo = (
+            self.nonneg_topo_map if self.is_symmetric else self.topo_map
+        ).astype(np.float32).copy()
+        if self.is_symmetric:
+            delta = 1.0 / (2 * W)
+            expansion = (W + 1) / W
+            topo[:, 0] = (topo[:, 0] + 1 + 2 * delta - expansion) / expansion
+        Wp = W + 2  # circular pad of 1 on each side
+        px = (topo[:, 0] + 1.0) * 0.5 * (Wp - 1)
+        py = (topo[:, 1] + 1.0) * 0.5 * (H - 1)
+        x0 = np.floor(px)
+        y0 = np.floor(py)
+        wx1 = px - x0
+        wy1 = py - y0
+        Vn = topo.shape[0]
+        M = np.zeros((Vn, H * W), np.float32)
+        rows = np.arange(Vn)
+        for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+            for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+                xi = x0 + dx
+                yi = y0 + dy
+                valid = (xi >= 0) & (xi < Wp) & (yi >= 0) & (yi < H)
+                # padded column -> source column (circular)
+                xs = (np.clip(xi, 0, Wp - 1).astype(np.int64) - 1) % W
+                ys = np.clip(yi, 0, H - 1).astype(np.int64)
+                np.add.at(
+                    M, (rows, ys * W + xs), (wy * wx * valid).astype(np.float32)
+                )
+        out = jnp.asarray(M)
+        self._vertex_sampler_cache[key] = out
+        return out
+
     def get_vertex_positions(self, displacement_map: jnp.ndarray) -> jnp.ndarray:
         """UV displacement map (B, H, W, 3) -> (B, V, 3) object-space vertices.
 
         Mirrors the reference math exactly (``mesh_template.py:125-149``):
         circular-pad + UV shift, symmetric-compensation of the topo x
-        coordinate, bilinear sample, tangent-space deform, mirror symmetrize.
+        coordinate, bilinear sample (as a precomputed static matmul),
+        tangent-space deform, mirror symmetrize.
         """
         B, H, W, _ = displacement_map.shape
-        topo = self.nonneg_topo_j if self.is_symmetric else self.topo_j
-        dm_padded = circpad(displacement_map, 1)  # (B, H, W+2, 3)
-        if self.is_symmetric:
-            delta = 1.0 / (2 * W)
-            expansion = (W + 1) / W
-            topo = topo.at[:, 0].set(
-                (topo[:, 0] + 1 + 2 * delta - expansion) / expansion
-            )
-        grid = jnp.broadcast_to(topo[None, :, None, :], (B, topo.shape[0], 1, 2))
-        local = grid_sample_bilinear(dm_padded, grid)[:, :, 0, :]  # (B, Vn, 3)
+        M = self._vertex_sampler(H, W)
+        local = jax.lax.dot_general(
+            M, displacement_map.reshape(B, H * W, 3),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).transpose(1, 0, 2)  # (B, Vn, 3)
         deltas = self.deform(local)
         if self.is_symmetric:
             V = self.num_vertices

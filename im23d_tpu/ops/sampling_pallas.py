@@ -1,0 +1,294 @@
+"""Tiled Pallas TPU kernel for bilinear grid sampling (texture lookup).
+
+``grid_sample`` is a 4-corner gather; XLA lowers TPU gathers to a
+serialized per-index loop (~15 ns/sample -> ~250 ms fwd / ~1.1 s fwd+bwd
+for a batch of 16 512x512 texture lookups — the fragment-shader hot path,
+reference ``code/rendering/fragment_shader.py`` / ``utils.py:6-12``).
+
+TPU-native formulation (the same hat-function trick as the splat kernel):
+the bilinear weight of sample p against source row h is
+``hat(y_p - h) = relu(1 - |y_p - h|)``, which is nonzero exactly at
+floor/ceil with the bilinear weights, and zero outside [0, H) — matching
+``padding_mode='zeros'`` for free.  Sampling becomes
+
+    out[c, p] = sum_w hat(x_p - w) * ( sum_h hat(y_p - h) * img[c, h, w] )
+
+i.e. one MXU matmul over a y-window plus a lane reduction over x, per
+8x128 sample tile.  Sample coordinates are spatially smooth in every use
+(UVs from rasterization, resizes), so each tile's y-span is small: the
+kernel slices a WH-row window around it and falls back, via ``lax.cond``,
+to a full-height matmul for the rare tile that exceeds it (e.g. crossing
+the UV-sphere pole where the mapping degenerates).
+
+Forward + custom-VJP backward (d img via transposed window matmuls
+accumulated in place; d coords via hat-derivative reductions).  The source
+image must fit VMEM ((C*H*W + C*WH*W)*4 within ~10 MB); larger sources fall
+back to the XLA gather at the call level.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TH, _TW = 8, 128          # sample tile (P = 1024 pixels on the lane axis)
+_P = _TH * _TW
+_WH = 128                  # y-window rows
+_NEG = -2.0                # pad coordinate (samples to zero, keeps spans tight)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _hat(d):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _hat_grad(d):
+    # d/dy hat(y - h) with d = y - h
+    return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+
+
+def _row_iota(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+
+
+def _window_start(y, H, wh):
+    """Clamped window start + whether the tile's y-span fits the window.
+
+    The start is aligned down to a sublane multiple (Mosaic requires
+    dynamic second-minor slices to be provably 8-aligned).
+    """
+    y_min = jnp.min(y)
+    y_max = jnp.max(y)
+    start = jnp.clip(jnp.floor(y_min).astype(jnp.int32), 0, max(H - wh, 0))
+    start = pl.multiple_of((start // 8) * 8, 8)
+    ok = (y_max - start.astype(jnp.float32)) <= (wh - 2)
+    return start, ok
+
+
+def _sample_tile(window, x, y, W, C, row0):
+    """Bilinear sample against a (wh, C*W) row window starting at row0."""
+    wh = window.shape[0]
+    rows = _row_iota(wh) + row0.astype(jnp.float32)       # (1, wh)
+    wy = _hat(y.reshape(_P, 1) - rows)                    # (P, wh)
+    t1 = jax.lax.dot_general(
+        wy, window, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, C*W)
+    wx = _hat(x.reshape(_P, 1) - _row_iota(W))            # (P, W)
+    outs = [
+        jnp.sum(wx * t1[:, c * W:(c + 1) * W], axis=1, keepdims=True)
+        for c in range(C)
+    ]
+    return jnp.concatenate(outs, axis=1).T                # (C, P)
+
+
+def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, wh):
+    xy = coords_ref[0].reshape(2, _P)
+    x, y = xy[0], xy[1]
+    zero = jnp.asarray(0, jnp.int32)
+
+    if wh >= H:
+        out = _sample_tile(img_ref[0], x, y, W, C, zero)
+    else:
+        row0, ok = _window_start(y, H, wh)
+
+        def windowed(_):
+            return _sample_tile(img_ref[0, pl.ds(row0, wh), :], x, y, W, C,
+                                row0)
+
+        def dense(_):
+            return _sample_tile(img_ref[0], x, y, W, C, zero)
+
+        out = jax.lax.cond(ok, windowed, dense, 0)
+    out_ref[0] = out.reshape(C, _TH, _TW)
+
+
+def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
+                H, W, C, wh):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
+
+    xy = coords_ref[0].reshape(2, _P)
+    x, y = xy[0], xy[1]
+    dout = dout_ref[0].reshape(C, _P)                     # (C, P)
+    zero = jnp.asarray(0, jnp.int32)
+
+    def grads(window, r0):
+        """(dgx, dgy, dimg window update) for a (whh, C*W) row window."""
+        whh = window.shape[0]
+        rows = _row_iota(whh) + r0.astype(jnp.float32)
+        dy_rows = y.reshape(_P, 1) - rows                 # (P, whh)
+        wy = _hat(dy_rows)
+        wyp = _hat_grad(dy_rows)
+        dx_cols = x.reshape(_P, 1) - _row_iota(W)         # (P, W)
+        wx = _hat(dx_cols)
+        wxp = _hat_grad(dx_cols)
+
+        t1 = jax.lax.dot_general(                         # (P, C*W)
+            wy, window, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dgx = jnp.zeros((1, _P), jnp.float32)
+        dgy = jnp.zeros((1, _P), jnp.float32)
+        dimg_upd = []
+        for c in range(C):
+            t1c = t1[:, c * W:(c + 1) * W]                # (P, W)
+            dc = dout[c].reshape(_P, 1)                   # (P, 1)
+            # diffs are (coord - iota), so _hat_grad IS d hat/d coord
+            dgx = dgx + jnp.sum(wxp * t1c * dc, axis=1).reshape(1, _P)
+            # d y needs the x-first partial: (P, whh)
+            t1y = jax.lax.dot_general(
+                wx, window[:, c * W:(c + 1) * W],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            dgy = dgy + jnp.sum(wyp * t1y * dc, axis=1).reshape(1, _P)
+            # d img window: Wy^T @ (hatx * dout_c)
+            dimg_upd.append(jax.lax.dot_general(
+                wy, wx * dc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ))  # (whh, W)
+        return dgx, dgy, jnp.concatenate(dimg_upd, axis=1)
+
+    if wh >= H:
+        dgx, dgy, dimg_upd = grads(img_ref[0], zero)
+        dimg_ref[0] += dimg_upd
+    else:
+        row0, ok = _window_start(y, H, wh)
+
+        def windowed(_):
+            dgx, dgy, upd = grads(img_ref[0, pl.ds(row0, wh), :], row0)
+            dimg_ref[0, pl.ds(row0, wh), :] += upd
+            return dgx, dgy
+
+        def dense(_):
+            dgx, dgy, upd = grads(img_ref[0], zero)
+            dimg_ref[0] += upd
+            return dgx, dgy
+
+        dgx, dgy = jax.lax.cond(ok, windowed, dense, 0)
+    dcoords_ref[0] = jnp.concatenate([dgx, dgy], axis=0).reshape(2, _TH, _TW)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_coords(coords, hp, wp):
+    """Edge-pad sample coords to tile multiples (keeps tile spans tight)."""
+    B, _, Hg, Wg = coords.shape
+    return jnp.pad(
+        coords, ((0, 0), (0, 0), (0, hp - Hg), (0, wp - Wg)), mode="edge"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _sample_core(coords, img_hcw, H, W, C, wh):
+    return _sample_fwd_impl(coords, img_hcw, H, W, C, wh)
+
+
+def _sample_fwd_impl(coords, img_hcw, H, W, C, wh):
+    B, _, hp, wp = coords.shape
+    kernel = functools.partial(_fwd_kernel, H=H, W=W, C=C, wh=wh)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, hp // _TH, wp // _TW),
+        in_specs=[
+            pl.BlockSpec((1, 2, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, C * W), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(coords, img_hcw)
+
+
+def _sample_core_fwd(coords, img_hcw, H, W, C, wh):
+    out = _sample_fwd_impl(coords, img_hcw, H, W, C, wh)
+    return out, (coords, img_hcw)
+
+
+def _sample_core_bwd(H, W, C, wh, residuals, dout):
+    coords, img_hcw = residuals
+    B, _, hp, wp = coords.shape
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C, wh=wh)
+    dimg, dcoords = pl.pallas_call(
+        kernel,
+        grid=(B, hp // _TH, wp // _TW),
+        in_specs=[
+            pl.BlockSpec((1, 2, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, C * W), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, C * W), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C * W), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, hp, wp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(coords, img_hcw, dout)
+    return dcoords, dimg
+
+
+_sample_core.defvjp(_sample_core_fwd, _sample_core_bwd)
+
+# image + window + work arrays must fit VMEM
+_VMEM_IMG_LIMIT = 8 * 1024 * 1024
+
+
+def fits_pallas(img_shape) -> bool:
+    B, H, W, C = img_shape
+    return H % 8 == 0 and (C * W) % 8 == 0 and H * C * W * 4 <= _VMEM_IMG_LIMIT
+
+
+def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for ``ops.sampling.grid_sample_bilinear`` (tiled TPU kernel).
+
+    img (B, H, W, C) f32, grid (B, Hg, Wg, 2) in [-1, 1] (x, y),
+    align_corners=True, zero padding.  Differentiable in both inputs.
+    """
+    B, H, W, C = img.shape
+    _, Hg, Wg, _ = grid.shape
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    coords = jnp.stack([x, y], axis=1)                    # (B, 2, Hg, Wg)
+    hp = _round_up(Hg, _TH)
+    wp = _round_up(Wg, _TW)
+    coords = _pad_coords(coords, hp, wp)
+    img_hcw = img.transpose(0, 1, 3, 2).reshape(B, H, C * W)
+    wh = min(_WH, H)
+    out = _sample_core(coords, img_hcw, H, W, C, wh)      # (B, C, hp, wp)
+    return out[:, :, :Hg, :Wg].transpose(0, 2, 3, 1)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from im23d_tpu.ops.sampling import grid_sample_bilinear
+from im23d_tpu.ops.sampling_pallas import fits_pallas, grid_sample_bilinear_pallas
 from im23d_tpu.render.rasterizer import rasterize
 from im23d_tpu.render.rasterizer_pallas import rasterize_tiled
 
@@ -36,7 +37,12 @@ def fragment_shader(
     """
     grid = texcoords * 2.0 - 1.0
     grid = grid * jnp.asarray([1.0, -1.0], grid.dtype)  # flip v
-    color = grid_sample_bilinear(texture, grid)  # (B, H, W, C)
+    # texture lookup: tiled Pallas kernel on TPU (XLA's gather lowering
+    # serializes per texel); XLA gather elsewhere / for VMEM-exceeding sources
+    if jax.default_backend() == "tpu" and fits_pallas(texture.shape):
+        color = grid_sample_bilinear_pallas(texture, grid)
+    else:
+        color = grid_sample_bilinear(texture, grid)  # (B, H, W, C)
     if background is None:
         return color * mask
     return background + (color - background) * mask

@@ -1,0 +1,68 @@
+"""Tiled Pallas grid-sample kernel vs the XLA gather reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from im23d_tpu.ops.sampling import grid_sample_bilinear
+from im23d_tpu.ops.sampling_pallas import fits_pallas, grid_sample_bilinear_pallas
+
+
+def _smooth_grid(B, Hg, Wg, amp=0.05):
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-1, 1, Hg), jnp.linspace(-1, 1, Wg), indexing="ij"
+    )
+    gx = xs + amp * jnp.sin(3 * ys)
+    gy = ys + amp * jnp.cos(3 * xs)
+    return jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (B, Hg, Wg, 2))
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C,Hg,Wg",
+    [(2, 64, 64, 3, 48, 48), (1, 32, 48, 4, 70, 34), (2, 16, 16, 1, 32, 32)],
+)
+def test_forward_parity_random(B, H, W, C, Hg, Wg):
+    # random coords (incl. out-of-range) drive the dense fallback path
+    k1, k2 = jax.random.split(jax.random.PRNGKey(H + Wg))
+    img = jax.random.uniform(k1, (B, H, W, C))
+    grid = jax.random.uniform(k2, (B, Hg, Wg, 2), minval=-1.2, maxval=1.2)
+    o0 = grid_sample_bilinear(img, grid)
+    o1 = grid_sample_bilinear_pallas(img, grid)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+
+def test_forward_parity_smooth_windowed():
+    # smooth warp stays inside the y-window fast path
+    img = jax.random.uniform(jax.random.PRNGKey(0), (2, 256, 256, 3))
+    grid = _smooth_grid(2, 128, 128)
+    o0 = grid_sample_bilinear(img, grid)
+    o1 = grid_sample_bilinear_pallas(img, grid)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+
+def test_gradient_parity():
+    key = jax.random.PRNGKey(1)
+    img = jax.random.uniform(key, (2, 64, 64, 3))
+    grid = _smooth_grid(2, 48, 48, amp=0.2)
+    wf = jax.random.normal(key, (2, 48, 48, 3))
+
+    def loss(fn, im, gr):
+        return jnp.sum(fn(im, gr) * wf)
+
+    g0i, g0g = jax.grad(lambda im, gr: loss(grid_sample_bilinear, im, gr),
+                        (0, 1))(img, grid)
+    g1i, g1g = jax.grad(
+        lambda im, gr: loss(grid_sample_bilinear_pallas, im, gr), (0, 1)
+    )(img, grid)
+    np.testing.assert_allclose(np.asarray(g0i), np.asarray(g1i), atol=1e-5)
+    scale = max(float(jnp.abs(g0g).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g0g) / scale, np.asarray(g1g) / scale, atol=1e-5
+    )
+
+
+def test_fits_pallas_gate():
+    assert fits_pallas((1, 512, 512, 4))
+    assert not fits_pallas((1, 1024, 1024, 4))  # exceeds the VMEM budget
+    assert not fits_pallas((1, 299, 64, 3))     # H not sublane-aligned

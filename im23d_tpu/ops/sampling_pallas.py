@@ -73,20 +73,25 @@ def _window_start(y, H, wh):
 
 
 def _sample_tile(window, x, y, W, C, row0):
-    """Bilinear sample against a (wh, C*W) row window starting at row0."""
+    """Bilinear sample against a (wh, C*W) row window starting at row0.
+
+    x-first per-channel contraction: the intermediate is (P, wh) instead of
+    (P, C*W) — at 512x512xC sources the y-first form spills ~6 MB of VMEM
+    per tile and the kernel becomes traffic-bound.
+    """
     wh = window.shape[0]
     rows = _row_iota(wh) + row0.astype(jnp.float32)       # (1, wh)
     wy = _hat(y.reshape(_P, 1) - rows)                    # (P, wh)
-    t1 = jax.lax.dot_general(
-        wy, window, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (P, C*W)
     wx = _hat(x.reshape(_P, 1) - _row_iota(W))            # (P, W)
-    outs = [
-        jnp.sum(wx * t1[:, c * W:(c + 1) * W], axis=1, keepdims=True)
-        for c in range(C)
-    ]
+    outs = []
+    for c in range(C):
+        t1y = jax.lax.dot_general(                        # (P, wh)
+            wx, window[:, c * W:(c + 1) * W],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        outs.append(jnp.sum(wy * t1y, axis=1, keepdims=True))
     return jnp.concatenate(outs, axis=1).T                # (C, P)
 
 
@@ -136,16 +141,16 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
         wx = _hat(dx_cols)
         wxp = _hat_grad(dx_cols)
 
-        t1 = jax.lax.dot_general(                         # (P, C*W)
-            wy, window, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
         dgx = jnp.zeros((1, _P), jnp.float32)
         dgy = jnp.zeros((1, _P), jnp.float32)
         dimg_upd = []
         for c in range(C):
-            t1c = t1[:, c * W:(c + 1) * W]                # (P, W)
+            t1c = jax.lax.dot_general(                    # (P, W)
+                wy, window[:, c * W:(c + 1) * W],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             dc = dout[c].reshape(_P, 1)                   # (P, 1)
             # diffs are (coord - iota), so _hat_grad IS d hat/d coord
             dgx = dgx + jnp.sum(wxp * t1c * dc, axis=1).reshape(1, _P)

@@ -173,7 +173,7 @@ class MeshTemplate:
         key = (H, W)
         cached = self._vertex_sampler_cache.get(key)
         if cached is not None:
-            return cached
+            return jnp.asarray(cached)
         topo = (
             self.nonneg_topo_map if self.is_symmetric else self.topo_map
         ).astype(np.float32).copy()
@@ -202,9 +202,10 @@ class MeshTemplate:
                 np.add.at(
                     M, (rows, ys * W + xs), (wy * wx * valid).astype(np.float32)
                 )
-        out = jnp.asarray(M)
-        self._vertex_sampler_cache[key] = out
-        return out
+        # cache the host array: a jnp constant created inside someone's jit
+        # trace would leak that trace's tracer into later calls
+        self._vertex_sampler_cache[key] = M
+        return jnp.asarray(M)
 
     def get_vertex_positions(self, displacement_map: jnp.ndarray) -> jnp.ndarray:
         """UV displacement map (B, H, W, 3) -> (B, V, 3) object-space vertices.

@@ -14,9 +14,10 @@ is then the rank-N factorized 3-tensor
 computed per z-slab as a dense MXU matmul ``(Wy * hz_row) @ Wx^T`` — no
 scatters at all.  Weight matrices are built once per cloud on the VPU in
 layout (S, N) (points on the 128-lane axis), matmuls run in bf16 with f32
-accumulation.  The backward pass is two matmuls per z-slab
-(``M_z = G_z @ Wx^T``, ``P_z = G_z^T @ Wy``) plus hat-derivative reductions,
-implemented as a second kernel under ``jax.custom_vjp``.
+accumulation.  The backward pass processes 4 z-slabs per iteration as
+(ZC, S, S) x (S, N) dot_generals (``M = G @ Wx``, ``P = G^T-free form via
+contraction dims``) plus hat-derivative reductions, implemented as a second
+kernel under ``jax.custom_vjp``.
 
 Parity: same semantics as ``ops.voxel.trilinear_splat`` (the XLA reference
 implementation, kept for CPU tests), which itself implements the intent of
@@ -88,54 +89,67 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, out_ref, *, size: int,
 
 
 def _bwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, g_ref,
-                dgz_ref, dgy_ref, dgx_ref, dc_ref, *, size: int, dot_dtype):
+                dgz_ref, dgy_ref, dgx_ref, dc_ref, *, size: int, dot_dtype,
+                z_chunk: int):
     S = size
     N = gz_ref.shape[-1]
+    ZC = z_chunk
     iota = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
 
-    # VMEM budget is tight (the v5e scoped limit is 16 MB): keep only the
-    # coordinate diffs + bf16 weight matrices resident, and recompute the
-    # hat/hat' weights from the diffs inside the loop (cheap VPU work).
     dy = iota - gy_ref[0, 0][None, :]
     dx = iota - gx_ref[0, 0][None, :]
-    wy_d = _hat(dy).astype(dot_dtype)
+    hat_dy = _hat(dy)              # (S, N)
+    hatp_dy = _hat_grad(dy)
+    hatp_dx = _hat_grad(dx)
+    wy_d = hat_dy.astype(dot_dtype)
     wx_d = _hat(dx).astype(dot_dtype)
     gz = gz_ref[0, 0][None, :]
     c = c_ref[0, 0][None, :]
 
-    def body(z, carry):
+    def body(zc, carry):
+        # process ZC z-slabs per iteration: the contractions become
+        # (ZC, S, S) x (S, N) dot_generals with free batch dims — 4-8x the
+        # MXU M-dimension of the old one-slab-at-a-time formulation
         dgz, dgy, dgx, dc = carry
-        zf = z.astype(jnp.float32)
-        hz = _hat(gz - zf)  # (1, N)
-        hzp = _hat_grad(gz - zf)
-        g_z = g_ref[0, z].astype(dot_dtype)  # (S, S) upstream grad slab
+        z0 = zc * ZC
+        g_c = g_ref[0, pl.ds(z0, ZC)].astype(dot_dtype)    # (ZC, S, S)
+        dz = gz[None] - (
+            jax.lax.broadcasted_iota(jnp.int32, (ZC, 1, N), 0).astype(
+                jnp.float32
+            )
+            + z0.astype(jnp.float32)
+        )  # (ZC, 1, N)
+        hz = _hat(dz)[:, 0]        # (ZC, N)
+        hzp = _hat_grad(dz)[:, 0]
 
-        # M_z[y, n] = sum_x G_z[y, x] * Wx[x, n]
-        m_z = jax.lax.dot_general(
-            g_z, wx_d, dimension_numbers=(((1,), (0,)), ((), ())),
+        # M[z, y, n] = sum_x G[z, y, x] * Wx[x, n]
+        m = jax.lax.dot_general(
+            g_c, wx_d, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(dot_dtype),
-        )  # (S, N)
-        t0 = jnp.sum(_hat(dy) * m_z, axis=0, keepdims=True)   # (1, N)
-        t1 = jnp.sum(_hat_grad(dy) * m_z, axis=0, keepdims=True)
-        # P_z[x, n] = sum_y G_z[y, x] * Wy[y, n]
-        p_z = jax.lax.dot_general(
-            g_z, wy_d, dimension_numbers=(((0,), (0,)), ((), ())),
+        )  # (ZC, S, N)
+        t0 = jnp.sum(hat_dy[None] * m, axis=1)             # (ZC, N)
+        t1 = jnp.sum(hatp_dy[None] * m, axis=1)
+        # P[z, x, n] = sum_y G[z, y, x] * Wy[y, n]
+        p = jax.lax.dot_general(
+            g_c, wy_d, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(dot_dtype),
-        )  # (S, N)
-        t2 = jnp.sum(_hat_grad(dx) * p_z, axis=0, keepdims=True)
+        )  # (ZC, S, N)
+        t2 = jnp.sum(hatp_dx[None] * p, axis=1)
 
         # d hat/dg: hz uses diff = gz - z (direct); wy/wx use diff = iota - g,
         # so the chain picks up a -1 for the y and x terms.
-        dgz = dgz + hzp * t0 * c
-        dgy = dgy - hz * t1 * c
-        dgx = dgx - hz * t2 * c
-        dc = dc + hz * t0
+        dgz = dgz + jnp.sum(hzp * t0, axis=0, keepdims=True) * c
+        dgy = dgy - jnp.sum(hz * t1, axis=0, keepdims=True) * c
+        dgx = dgx - jnp.sum(hz * t2, axis=0, keepdims=True) * c
+        dc = dc + jnp.sum(hz * t0, axis=0, keepdims=True)
         return dgz, dgy, dgx, dc
 
     zero = jnp.zeros((1, N), jnp.float32)
-    dgz, dgy, dgx, dc = jax.lax.fori_loop(0, S, body, (zero, zero, zero, zero))
+    dgz, dgy, dgx, dc = jax.lax.fori_loop(
+        0, S // ZC, body, (zero, zero, zero, zero)
+    )
     dgz_ref[0] = dgz
     dgy_ref[0] = dgy
     dgx_ref[0] = dgx
@@ -183,7 +197,10 @@ def _splat_grid_bwd(size: int, dot_bf16: bool, residuals, g):
     B, N = gz.shape
     S = size
     dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
-    kernel = functools.partial(_bwd_kernel, size=S, dot_dtype=dot_dtype)
+    z_chunk = 4 if S % 4 == 0 else 1
+    kernel = functools.partial(
+        _bwd_kernel, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk
+    )
     vec = lambda x: x.reshape(B, 1, N)
     vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     dgz, dgy, dgx, dc = pl.pallas_call(
@@ -194,6 +211,9 @@ def _splat_grid_bwd(size: int, dot_bf16: bool, residuals, g):
                                memory_space=pltpu.VMEM)],
         out_specs=[vec_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((B, 1, N), jnp.float32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_use_interpret(),
     )(vec(gz), vec(gy), vec(gx), vec(c), g)
     return (dgz.reshape(B, N), dgy.reshape(B, N), dgx.reshape(B, N),

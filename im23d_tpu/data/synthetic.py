@@ -61,11 +61,24 @@ class SyntheticSilhouettes:
         self.n_points = n_points
         self.sigma = sigma
         self._rng = np.random.RandomState(seed)
-        self._render = jax.jit(
-            lambda pc, q: point_cloud_to_silhouette(
-                pc, q, jnp.float32(self.sigma), voxel_size=self.image_size // 2
+        # ground-truth rendering is host-side data generation: pin it to the
+        # CPU backend — on a remote TPU the XLA-scatter splat plus the RPC
+        # round trip costs seconds per batch and starves the train loop
+        cpu = jax.devices("cpu")[0]
+
+        def render(pc, q):
+            # kernel 9 covers +-4.5 cells: exact to ~1e-4 at sigma <= 1.2,
+            # and the host-side CPU blur is the batch-generation bottleneck
+            sil = point_cloud_to_silhouette(
+                pc, q, jnp.float32(self.sigma), voxel_size=self.image_size // 2,
+                kernel_size=9,
             )
-        )
+            sil = jnp.clip(sil, 0.0, 1.0)  # (B*V, S, S)
+            # upsample to image resolution to mimic render inputs
+            masks = resize_bilinear(sil, self.image_size, self.image_size)
+            return masks
+
+        self._render = jax.jit(render, device=cpu)
 
     def next_batch(self) -> dict:
         rng = self._rng
@@ -73,20 +86,15 @@ class SyntheticSilhouettes:
         clouds = _random_shapes(rng, B, self.n_points)
         quats = _random_unit_quats(rng, B * V)
         pc = np.repeat(clouds, V, axis=0)
-        sil = np.asarray(self._render(jnp.asarray(pc), jnp.asarray(quats)))
-        sil = np.clip(sil, 0.0, 1.0)  # (B*V, S, S)
-        # upsample to image resolution to mimic render inputs
-        imgs = np.asarray(
-            resize_bilinear(jnp.asarray(sil)[..., None], self.image_size, self.image_size)
-        )
-        imgs3 = np.repeat(imgs, 3, axis=-1).astype(np.float32)  # (B*V, H, W, 3)
+        masks = np.asarray(self._render(jnp.asarray(pc), jnp.asarray(quats)))
+        imgs3 = np.repeat(masks[..., None], 3, axis=-1).astype(
+            np.float32
+        )  # (B*V, H, W, 3)
         view_pick = self._rng.randint(V, size=B)
         images = imgs3.reshape(B, V, self.image_size, self.image_size, 3)[
             np.arange(B), view_pick
         ]
-        masks = np.asarray(
-            resize_bilinear(jnp.asarray(sil), self.image_size, self.image_size)
-        ).astype(np.float32)
+        masks = masks.astype(np.float32)
         if self.uint8:
             # PNG-native uint8: the trainer normalizes on device (4x less
             # host->device traffic)

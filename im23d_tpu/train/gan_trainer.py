@@ -21,6 +21,7 @@ Functional re-design of the reference training driver (``code/main.py``):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any
 
@@ -58,6 +59,24 @@ class GANTrainConfig:
     # pretrained/no-finetune mode, main.py:560-568)
     text_vocab_size: int = 5450
     text_max_length: int = 18
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _truncation_sample(rng, n: int, dim: int, sigma):
+    z = jax.random.normal(rng, (n, dim))
+
+    def cond(state):
+        i, _, z = state
+        return (i < 100) & jnp.any(jnp.abs(z) > sigma)
+
+    def body(state):
+        i, rng, z = state
+        rng, k = jax.random.split(rng)
+        znew = jax.random.normal(k, z.shape)
+        return i + 1, rng, jnp.where(jnp.abs(z) > sigma, znew, z)
+
+    _, _, z = jax.lax.while_loop(cond, body, (jnp.int32(0), rng, z))
+    return z
 
 
 def _to_f32(batch):
@@ -377,15 +396,11 @@ class GANTrainer:
 
     def truncation_sample(self, rng, n: int, sigma: float):
         """Truncation-trick rejection sampling (``main.py:245-253``):
-        resample any |z| component above sigma."""
-        z = jax.random.normal(rng, (n, self.mcfg.latent_dim))
-        i = 0
-        while bool(jnp.any(jnp.abs(z) > sigma)) and i < 100:
-            rng = jax.random.fold_in(rng, i)
-            znew = jax.random.normal(rng, (n, self.mcfg.latent_dim))
-            z = jnp.where(jnp.abs(z) > sigma, znew, z)
-            i += 1
-        return z
+        resample any |z| component above sigma.  Runs as one jitted
+        bounded while_loop — the naive host loop costs a device round trip
+        per rejection round."""
+        return _truncation_sample(rng, n, self.mcfg.latent_dim,
+                                  jnp.float32(sigma))
 
     # -- checkpointing -----------------------------------------------------
 

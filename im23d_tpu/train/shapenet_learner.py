@@ -271,12 +271,15 @@ class ShapeNetLearner:
         losses: dict[str, Any] = {}
         t0 = time.time()
         pending = self.put_batch(next(train_iter))
+        # host-side step mirror: int(self.state.step) would force a device
+        # sync (a full RPC round trip on remote TPU) every iteration
+        step0 = int(self.state.step)
         for i in range(num_steps):
             batch_dev = pending
             if i + 1 < num_steps:
                 pending = self.put_batch(next(train_iter))
             losses = self.train_step(batch_dev, already_on_device=True)
-            step = int(self.state.step)
+            step = step0 + i + 1
             if self.logger and step % cfg.log_every == 0:
                 host = {k: float(v) for k, v in losses.items()}
                 host["steps_per_sec"] = cfg.log_every / max(time.time() - t0, 1e-9)

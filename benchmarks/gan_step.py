@@ -1,0 +1,106 @@
+"""512x512 mesh-GAN training step-time benchmark (BASELINE config #5).
+
+Measures the jitted G-step and D-step wall time of the conditional CUB
+512x512 GAN (reference ``code/main.py --name cub_512x512_class``:
+batch 32, 2 critics, class conditioning) on the available devices.
+
+Usage:
+    python benchmarks/gan_step.py [--batch_size 32] [--compute_dtype bfloat16]
+
+Prints one JSON line per configuration with g/d step ms and imgs/sec for
+the reference 1G+2D iteration pattern.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(trainer, batch, steps: int = 6) -> dict:
+    import jax
+
+    # one G + two D to compile both executables
+    for _ in range(3):
+        losses = trainer.train_step(batch)
+    jax.block_until_ready(losses)
+
+    def time_phase(target_mod):
+        # run only iterations whose phase matches (g: it%3==0, d otherwise)
+        ts = []
+        for _ in range(steps):
+            while (trainer.total_it % (1 + trainer.cfg.d_steps_per_g) == 0) != (
+                target_mod == "g"
+            ):
+                losses = trainer.train_step(batch)
+                jax.block_until_ready(losses)
+            t0 = time.perf_counter()
+            losses = trainer.train_step(batch)
+            jax.block_until_ready(losses)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    g_s = time_phase("g")
+    d_s = time_phase("d")
+    it_s = g_s + 2 * d_s  # reference pattern: 1 G step per 2 D steps
+    B = batch["alpha"].shape[0]
+    return dict(
+        g_step_ms=round(g_s * 1e3, 2),
+        d_step_ms=round(d_s * 1e3, 2),
+        iter_3step_ms=round(it_s * 1e3, 2),
+        imgs_per_sec=round(3 * B / it_s, 2),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--texture_resolution", type=int, default=512)
+    ap.add_argument("--compute_dtype", type=str, default="both",
+                    choices=("float32", "bfloat16", "both"))
+    args = ap.parse_args()
+
+    from im23d_tpu.core.jax_setup import setup_jax
+
+    setup_jax()
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.models.gan import GANConfig
+    from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    template = MeshTemplate(segments=32, rings=16)  # CUB autodetect template
+    B, R = args.batch_size, args.texture_resolution
+    rng = np.random.default_rng(0)
+    batch = dict(
+        texture=rng.standard_normal((B, R, R, 3)).astype(np.float16),
+        alpha=rng.random((B, R, R, 1)).astype(np.float16),
+        mesh=(rng.standard_normal((B, 32, 32, 3)) * 0.01).astype(np.float16),
+        c=np.stack([rng.integers(0, 200, B), np.zeros(B)], 1).astype(np.int32),
+    )
+    dtypes = (
+        ["float32", "bfloat16"]
+        if args.compute_dtype == "both"
+        else [args.compute_dtype]
+    )
+    for dt in dtypes:
+        cfg = GANTrainConfig(
+            model=GANConfig(
+                texture_resolution=R, conditional_class=True,
+                compute_dtype=dt,
+            ),
+            batch_size=B,
+        )
+        trainer = GANTrainer(cfg, template=template)
+        out = measure(trainer, batch)
+        print(json.dumps(dict(
+            bench="gan_step", texture_resolution=R, batch_size=B,
+            compute_dtype=dt, **out,
+        )), flush=True)
+
+
+if __name__ == "__main__":
+    main()

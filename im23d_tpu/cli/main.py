@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss", type=str, default="hinge")
     p.add_argument("--mask_output", type=bool, default=True)
     p.add_argument("--num_discriminators", type=int, default=-1)
+    p.add_argument("--compute_dtype", type=str, default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="conv-stack compute precision; auto = bfloat16 on "
+                        "TPU, float32 elsewhere (new flag — the reference "
+                        "trains pure f32)")
     # Session settings (:71-86)
     p.add_argument("--name", "--weights", dest="name", type=str, required=True)
     p.add_argument("--dataset", type=str, required=True, help="(p3d|cub)")
@@ -122,7 +127,15 @@ def main(argv=None) -> int:
     else:
         template = MeshTemplate(args.mesh_path)
 
+    if args.compute_dtype == "auto":
+        import jax
+
+        args.compute_dtype = (
+            "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        )
+
     mcfg = GANConfig(
+        compute_dtype=args.compute_dtype,
         texture_resolution=args.texture_resolution,
         mesh_resolution=args.mesh_resolution,
         symmetric_g=args.symmetric_g,

@@ -14,7 +14,7 @@ GLOBAL batch (XLA inserts the cross-chip collective), so ``syncbatch`` and
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -48,6 +48,15 @@ class GANConfig:
     mask_output: bool = True
     n_classes: Sequence[int] = (200,)
     text_embedding_dim: int = 256
+    # mixed precision: conv/dense compute dtype.  Params, norm statistics
+    # (flax reduces in f32 regardless) and the GAN losses stay float32; on
+    # TPU "bfloat16" runs the conv stacks on the MXU at 2x rate.  The
+    # reference has no AMP equivalent (pure f32 CUDA).
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
 
 
 def positional_encoding(ny: int, nx: int) -> np.ndarray:
@@ -82,24 +91,29 @@ class ConditionalNorm(nn.Module):
     (reference ``ConditionalBatchNorm2d``, ``gan.py:264-286``)."""
 
     norm: str  # batch | syncbatch | instance | none
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, train: bool = True):
         ch = x.shape[-1]
         if self.norm in ("batch", "syncbatch"):
+            # flax reduces the batch statistics in f32 even when dtype is
+            # half precision (force_float32_reductions)
             h = nn.BatchNorm(
-                use_running_average=not train, use_bias=False, use_scale=False
+                use_running_average=not train, use_bias=False, use_scale=False,
+                dtype=self.dtype,
             )(x)
         elif self.norm == "instance":
-            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-            var = jnp.var(x, axis=(1, 2), keepdims=True)
-            h = (x - mean) / jnp.sqrt(var + 1e-5)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            var = jnp.var(xf, axis=(1, 2), keepdims=True)
+            h = ((xf - mean) / jnp.sqrt(var + 1e-5)).astype(x.dtype)
         elif self.norm == "none":
             h = x
         else:
             raise ValueError(self.norm)
-        gamma = nn.Dense(ch, name="fc_gamma")(z)[:, None, None, :]
-        beta = nn.Dense(ch, name="fc_beta")(z)[:, None, None, :]
+        gamma = nn.Dense(ch, name="fc_gamma", dtype=self.dtype)(z)[:, None, None, :]
+        beta = nn.Dense(ch, name="fc_beta", dtype=self.dtype)(z)[:, None, None, :]
         return h * (1.0 + gamma) + beta
 
 
@@ -110,44 +124,52 @@ class ResBlockUp(nn.Module):
     ch_out: int
     norm: str
     pad_fn: Callable
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, train: bool = True):
         ch_in = x.shape[-1]
         ch_mid = min(ch_in, self.ch_out)
+        dt = self.dtype
         if ch_in != self.ch_out:
-            shortcut = _sn(nn.Conv(self.ch_out, (1, 1), use_bias=False))(
+            shortcut = _sn(nn.Conv(self.ch_out, (1, 1), use_bias=False, dtype=dt))(
                 x, update_stats=train
             )
         else:
             shortcut = x
         h = _sn(
-            nn.Conv(ch_mid, (3, 3), padding=((1, 1), (0, 0)), use_bias=False)
+            nn.Conv(ch_mid, (3, 3), padding=((1, 1), (0, 0)), use_bias=False,
+                    dtype=dt)
         )(self.pad_fn(x, 1), update_stats=train)
-        h = leaky_relu(ConditionalNorm(self.norm, name="norm1")(h, z, train))
+        h = leaky_relu(ConditionalNorm(self.norm, dt, name="norm1")(h, z, train))
         h = _sn(
-            nn.Conv(self.ch_out, (3, 3), padding=((1, 1), (0, 0)), use_bias=False)
+            nn.Conv(self.ch_out, (3, 3), padding=((1, 1), (0, 0)), use_bias=False,
+                    dtype=dt)
         )(self.pad_fn(h, 1), update_stats=train)
-        h = leaky_relu(ConditionalNorm(self.norm, name="norm2")(h, z, train))
+        h = leaky_relu(ConditionalNorm(self.norm, dt, name="norm2")(h, z, train))
         return h + shortcut
 
 
 class SpatialAttention(nn.Module):
     """AttnGAN-style word/region attention (reference ``gan.py:433-480``)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x, context, mask=None):
         # x: (B, H, W, C); context: (B, L, Cd)
         B, H, W, C = x.shape
-        ctx = nn.Conv(C, (1, 1), use_bias=False, name="conv_context")(
-            context[:, :, None, :]
-        )[:, :, 0, :]  # (B, L, C)
+        ctx = nn.Conv(C, (1, 1), use_bias=False, name="conv_context",
+                      dtype=self.dtype)(context[:, :, None, :])[:, :, 0, :]
         q = x.reshape(B, H * W, C)
-        attn = jnp.einsum("bqc,blc->bql", q, ctx)
+        # logits/softmax in f32 for stability under bf16 compute
+        attn = jnp.einsum("bqc,blc->bql", q, ctx,
+                          preferred_element_type=jnp.float32)
         if mask is not None:
             attn = attn - 1e4 * mask[:, None, :].astype(attn.dtype)
         attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bql,blc->bqc", attn, ctx).reshape(B, H, W, C)
+        out = jnp.einsum("bql,blc->bqc", attn.astype(ctx.dtype), ctx)
+        out = out.reshape(B, H, W, C)
         attn_map = attn.reshape(B, H, W, -1)
         return out, attn_map
 
@@ -167,6 +189,7 @@ class Generator(nn.Module):
     def __call__(self, z, c=None, caption=None, train: bool = True,
                  return_attention: bool = False):
         cfg = self.cfg
+        dt = cfg.dtype
         emb_dim = cfg.latent_dim
         pad = replicate_pad_w if cfg.symmetric_g else circular_pad_w
         height, width = 8, (4 if cfg.symmetric_g else 8)
@@ -181,16 +204,19 @@ class Generator(nn.Module):
                 e1 = nn.Embed(cfg.n_classes[0], emb_dim, name="emb_class")(c[:, 0])
                 z = jnp.concatenate([z, e1], axis=1)
 
-        x = nn.Dense(height * width * 512, name="fc")(z)
+        z = z.astype(dt)
+        x = nn.Dense(height * width * 512, name="fc", dtype=dt)(z)
         x = x.reshape(x.shape[0], height, width, 512)
 
-        blk = lambda ch, name: ResBlockUp(ch, cfg.norm_g, pad, name=name)
+        blk = lambda ch, name: ResBlockUp(ch, cfg.norm_g, pad, dt, name=name)
         x = upsample_nearest(blk(512, "blk1")(x, z, train))   # 8 -> 16
         x = blk(256, "blk2")(x, z, train)                     # 16
 
         attn_map = None
         if cfg.conditional_text and caption is not None:
-            att_out, attn_map = SpatialAttention(name="att")(x, *caption)
+            att_out, attn_map = SpatialAttention(dt, name="att")(
+                x, caption[0].astype(dt), caption[1]
+            )
             x = x + att_out
 
         x = upsample_nearest(x)                               # 16 -> 32
@@ -205,20 +231,25 @@ class Generator(nn.Module):
         x_tex = upsample_nearest(blk(128, "blk4")(x_tex, z, train))
         x_tex = upsample_nearest(blk(128, "blk5")(x_tex, z, train))
         x_tex = leaky_relu(blk(64, "blk6")(x_tex, z, train))
+        # tanh in f32 (saturation precision), texture stays in the compute
+        # dtype: casting the 512^2 map to f32 here forces full-size f32
+        # layout copies between G and D (profiled at ~12 ms/step at bs16) —
+        # the trainer upcasts only where full precision is consumed (losses,
+        # vertex sampling, export)
         x_tex = jnp.tanh(
-            nn.Conv(3, (5, 5), padding=((2, 2), (0, 0)), name="conv_final")(
-                pad(x_tex, 2)
-            )
-        )
+            nn.Conv(3, (5, 5), padding=((2, 2), (0, 0)), name="conv_final",
+                    dtype=dt)(pad(x_tex, 2)).astype(jnp.float32)
+        ).astype(dt)
 
         x_mesh = None
         if self.mesh_head:
             x_mesh = leaky_relu(blk(64, "blk3_mesh")(x, z, train))
+            # the mesh map is 32x32 — tiny; emit f32 for the geometry path
             x_mesh = nn.Conv(
                 3, (5, 5), padding=((2, 2), (0, 0)),
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-                name="conv_mesh",
-            )(pad(x_mesh, 2))
+                name="conv_mesh", dtype=dt,
+            )(pad(x_mesh, 2)).astype(jnp.float32)
             x_mesh = adjust_poles(x_mesh)
 
         if cfg.symmetric_g:
@@ -264,45 +295,52 @@ class TextureDiscriminator(nn.Module):
         mask = None
         if cfg.mask_output:
             ds_factor = 16 if stride_first else 8
-            mask = jax.lax.stop_gradient(avg_pool(x[..., 3:4], ds_factor))
+            mask = jax.lax.stop_gradient(
+                avg_pool(x[..., 3:4].astype(jnp.float32), ds_factor)
+            )
         pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
         x = jnp.concatenate(
-            [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:]))], axis=-1
+            [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:])).astype(x.dtype)],
+            axis=-1,
         )
 
+        dt = cfg.dtype
         bias = cfg.norm_d != "instance"
         norm = _norm_d_factory(cfg)
 
         if stride_first:
-            h = _sn(nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0))))(
-                circpad(x, 1), update_stats=train
-            )
+            h = _sn(nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
+                            dtype=dt))(circpad(x, 1), update_stats=train)
         else:
-            h = _sn(nn.Conv(64, (5, 5), padding=((2, 2), (0, 0))))(
+            h = _sn(nn.Conv(64, (5, 5), padding=((2, 2), (0, 0)), dtype=dt))(
                 circpad(x, 2), update_stats=train
             )
         h = leaky_relu(h)
         h = _sn(nn.Conv(128, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
-                        use_bias=bias))(circpad(h, 1), update_stats=train)
+                        use_bias=bias, dtype=dt))(circpad(h, 1), update_stats=train)
         h = leaky_relu(norm("bn2")(h, train))
         h = _sn(nn.Conv(256, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
-                        use_bias=bias))(circpad(h, 1), update_stats=train)
+                        use_bias=bias, dtype=dt))(circpad(h, 1), update_stats=train)
         h = leaky_relu(norm("bn3")(h, train))
         h = _sn(nn.Conv(512, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
-                        use_bias=bias))(circpad(h, 1), update_stats=train)
+                        use_bias=bias, dtype=dt))(circpad(h, 1), update_stats=train)
         h = leaky_relu(norm("bn4")(h, train))
-        y = _sn(nn.Conv(1, (5, 5), padding=((2, 2), (0, 0))))(
+        y = _sn(nn.Conv(1, (5, 5), padding=((2, 2), (0, 0)), dtype=dt))(
             circpad(h, 2), update_stats=train
-        )
+        ).astype(jnp.float32)
 
         if cfg.conditional_class:
             emb = nn.Embed(cfg.n_classes[0], 512, name="projector")(c[:, 0])
             if cfg.conditional_color:
                 emb = emb + nn.Embed(cfg.n_classes[1], 512, name="projector_col1")(c[:, 1])
-            y = y + jnp.sum(h * emb[:, None, None, :], axis=-1, keepdims=True)
+            y = y + jnp.sum(h.astype(jnp.float32) * emb[:, None, None, :],
+                            axis=-1, keepdims=True)
         elif cfg.conditional_text and caption is not None:
-            att_out, _ = SpatialAttention(name="att")(h, *caption)
-            y = y + jnp.sum(h * att_out, axis=-1, keepdims=True)
+            att_out, _ = SpatialAttention(dt, name="att")(
+                h, caption[0].astype(dt), caption[1]
+            )
+            y = y + jnp.sum((h * att_out).astype(jnp.float32),
+                            axis=-1, keepdims=True)
         return y, mask
 
 
@@ -316,41 +354,49 @@ class MeshDiscriminator(nn.Module):
     def __call__(self, texture, mesh_map, c=None, caption=None, train: bool = True):
         cfg = self.cfg
         x = avg_pool(texture, texture.shape[1] // mesh_map.shape[1])
-        x = jnp.concatenate([x, mesh_map], axis=-1)
+        x = jnp.concatenate([x, mesh_map.astype(x.dtype)], axis=-1)
         mask = None
         if cfg.mask_output:
-            mask = jax.lax.stop_gradient(avg_pool(x[..., 3:4], 4))
+            mask = jax.lax.stop_gradient(
+                avg_pool(x[..., 3:4].astype(jnp.float32), 4)
+            )
         pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
         x = jnp.concatenate(
-            [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:]))], axis=-1
+            [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:])).astype(x.dtype)],
+            axis=-1,
         )
 
+        dt = cfg.dtype
         bias = cfg.norm_d != "instance"
         norm = _norm_d_factory(cfg)
 
         h = leaky_relu(
-            _sn(nn.Conv(64, (5, 5), padding=((2, 2), (0, 0))))(
+            _sn(nn.Conv(64, (5, 5), padding=((2, 2), (0, 0)), dtype=dt))(
                 circpad(x, 2), update_stats=train
             )
         )
         h = _sn(nn.Conv(128, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
-                        use_bias=bias))(circpad(h, 1), update_stats=train)
+                        use_bias=bias, dtype=dt))(circpad(h, 1), update_stats=train)
         h = leaky_relu(norm("bn2")(h, train))
         h = _sn(nn.Conv(256, (4, 4), strides=(2, 2), padding=((1, 1), (0, 0)),
-                        use_bias=bias))(circpad(h, 1), update_stats=train)
+                        use_bias=bias, dtype=dt))(circpad(h, 1), update_stats=train)
         h = leaky_relu(norm("bn3")(h, train))
-        y = _sn(nn.Conv(1, (5, 5), padding=((2, 2), (0, 0))))(
+        y = _sn(nn.Conv(1, (5, 5), padding=((2, 2), (0, 0)), dtype=dt))(
             circpad(h, 2), update_stats=train
-        )
+        ).astype(jnp.float32)
 
         if cfg.conditional_class:
             emb = nn.Embed(cfg.n_classes[0], 256, name="projector")(c[:, 0])
             if cfg.conditional_color:
                 emb = emb + nn.Embed(cfg.n_classes[1], 256, name="projector_col1")(c[:, 1])
-            y = y + jnp.sum(h * emb[:, None, None, :], axis=-1, keepdims=True)
+            y = y + jnp.sum(h.astype(jnp.float32) * emb[:, None, None, :],
+                            axis=-1, keepdims=True)
         elif cfg.conditional_text and caption is not None:
-            att_out, _ = SpatialAttention(name="att")(h, *caption)
-            y = y + jnp.sum(h * att_out, axis=-1, keepdims=True)
+            att_out, _ = SpatialAttention(dt, name="att")(
+                h, caption[0].astype(dt), caption[1]
+            )
+            y = y + jnp.sum((h * att_out).astype(jnp.float32),
+                            axis=-1, keepdims=True)
         return y, mask
 
 

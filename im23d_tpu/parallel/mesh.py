@@ -29,6 +29,35 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> Mesh:
+    """Initialize multi-host SPMD and return the global data-parallel mesh.
+
+    The reference is explicitly single-process (``code/main.py:135`` pins one
+    CUDA device set; no torch.distributed anywhere).  Here multi-host is the
+    same program: ``jax.distributed.initialize`` wires the hosts together
+    (auto-detected on Cloud TPU pods when no arguments are given), and the
+    returned mesh spans every chip in the slice — ICI within a host's chips,
+    DCN across hosts, with XLA routing each collective over the right fabric.
+    Feed each process its local shard of the global batch
+    (``jax.make_array_from_process_local_data`` composes with
+    ``batch_sharded``).
+    """
+    if jax.process_count() == 1 and coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif jax.process_count() == 1 and num_processes is None:
+        try:
+            jax.distributed.initialize()  # TPU pod auto-detection
+        except Exception:
+            pass  # single-host run: fall through to the local mesh
+    return make_mesh()
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -79,11 +79,13 @@ def _truncation_sample(rng, n: int, dim: int, sigma):
     return z
 
 
-def _to_f32(batch):
-    """Device-side upcast: pseudo-gt batches travel as fp16 (cache-native)."""
+def _to_compute(batch, dtype):
+    """Device-side cast of the fp16 cache-native batch to the compute dtype
+    (f32, or bf16 under mixed precision — keeping the 512^2 real textures in
+    bf16 halves the HBM traffic of the critic input path)."""
     return jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32)
-        if x.dtype in (jnp.float16, jnp.bfloat16) else x,
+        lambda x: x.astype(dtype)
+        if x.dtype in (jnp.float16, jnp.bfloat16, jnp.float32) else x,
         batch,
     )
 
@@ -231,9 +233,11 @@ class GANTrainer:
             )
             return preds, masks, new["batch_stats"]
 
+        compute_dtype = mcfg.dtype
+
         def g_step(g_params, g_stats, d_params, d_stats, opt_g, g_ema,
                    alpha, lr_factor, batch, rng, te_params):
-            batch = _to_f32(batch)
+            batch = _to_compute(batch, compute_dtype)
             z = jax.random.normal(rng, (batch["alpha"].shape[0], mcfg.latent_dim))
             c = batch.get("c")
             caption = encode_caption(te_params, batch)
@@ -271,7 +275,7 @@ class GANTrainer:
 
         def d_step(g_params, g_stats, d_params, d_stats, opt_d,
                    lr_factor, batch, rng, te_params):
-            batch = _to_f32(batch)
+            batch = _to_compute(batch, compute_dtype)
             z = jax.random.normal(rng, (batch["alpha"].shape[0], mcfg.latent_dim))
             c = batch.get("c")
             caption = encode_caption(te_params, batch)
@@ -339,6 +343,10 @@ class GANTrainer:
                 {"params": g_ema["params"], "batch_stats": g_ema["batch_stats"]},
                 z, c, caption, train=False, mutable=["batch_stats"],
             )
+            # export/render consumers take full precision
+            tex = tex.astype(jnp.float32)
+            if mesh_map is not None:
+                mesh_map = mesh_map.astype(jnp.float32)
             return tex, mesh_map
 
         self._inference = jax.jit(inference)

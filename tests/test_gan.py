@@ -117,3 +117,37 @@ def test_flatness_loss_zero_for_sphere_consistency():
     sphere_normals = t.compute_normals(jnp.asarray(t.mesh.vertices)[None])
     loss_sphere = float(flatness_loss(sphere_normals, t.ff_j))
     assert 0 < loss_sphere < 50.0
+
+
+def test_mixed_precision_matches_f32():
+    """bfloat16 compute path: same param tree, f32 outputs, close values.
+
+    New capability (no reference analogue — ``code/main.py`` trains pure
+    f32); guards the dtype threading through Generator/discriminators.
+    """
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, TINY.latent_dim))
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = GANConfig(texture_resolution=128, n_classes=(7,), compute_dtype=dt)
+        gen = Generator(cfg, mesh_head=True)
+        variables = gen.init(jax.random.PRNGKey(0), z, train=False)
+        (tex, mesh), _ = gen.apply(variables, z, train=True,
+                                   mutable=["batch_stats"])
+        # texture rides in the compute dtype (D consumes it directly);
+        # the mesh map feeds the f32 geometry path
+        assert tex.dtype == cfg.dtype and mesh.dtype == jnp.float32
+        tex = tex.astype(jnp.float32)
+        disc = MultiScaleDiscriminator(cfg)
+        x = jnp.concatenate([tex, jnp.ones_like(tex[..., :1])], axis=-1)
+        dv = disc.init(jax.random.PRNGKey(0), x, mesh, train=False)
+        (preds, masks), _ = disc.apply(dv, x, mesh, train=True,
+                                       mutable=["batch_stats"])
+        assert all(p.dtype == jnp.float32 for p in preds)
+        assert all(m.dtype == jnp.float32 for m in masks if m is not None)
+        outs[dt] = (tex, [p.mean() for p in preds])
+    # same init (param_dtype f32 in both); bf16 forward stays close
+    np.testing.assert_allclose(
+        np.asarray(outs["float32"][0]), np.asarray(outs["bfloat16"][0]), atol=0.2
+    )
+    for a, b in zip(outs["float32"][1], outs["bfloat16"][1]):
+        np.testing.assert_allclose(float(a), float(b), atol=0.05)

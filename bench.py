@@ -60,17 +60,15 @@ def main() -> None:
     n_steps = 10
 
     def measure() -> float:
-        prev_losses = None
+        # dispatch all steps back-to-back, fetch once at the end: training
+        # fetches metrics every eval interval, not per step, and a per-step
+        # scalar fetch is a full RPC round-trip on the axon tunnel
         t0 = time.perf_counter()
         for i in range(n_steps):
-            # fetch step i-1's loss AFTER dispatching step i: the sync (a
-            # full RPC round-trip on the tunnel) overlaps device execution
-            # instead of serializing every step, while bounding queue depth
-            cur = pool[i % len(pool)]
-            if prev_losses is not None:
-                float(prev_losses["total_loss"])
-            prev_losses = learner.train_step(cur, already_on_device=True)
-        float(prev_losses["total_loss"])
+            losses = learner.train_step(
+                pool[i % len(pool)], already_on_device=True
+            )
+        float(losses["total_loss"])
         return time.perf_counter() - t0
 
     # best of 3 passes: the tunnel adds run-to-run noise

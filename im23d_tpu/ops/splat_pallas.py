@@ -156,6 +156,151 @@ def _bwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, g_ref,
     dc_ref[0] = dc
 
 
+def _blur_yx_in_vmem(v, band, dot_dtype):
+    """Y- then X-blur of a (Z, Y, X) array living in VMEM/registers.
+
+    ``band`` is the (S, S) Toeplitz matrix of a *symmetric* kernel (so the
+    matrix is symmetric and blur == blur^T, which the fused backward relies
+    on).  Both steps contract dim 1 — the only 3-D contraction Mosaic
+    lowers without a vector shape-cast — and the axis cycling restores
+    (Z, Y, X) order:  (Z,Y,X) -c1-> (Z,X,Y') -c1-> (Z,Y',X').
+    The Z blur stays outside the kernel (a dim-0 contraction would need an
+    unsupported (S,S,S)->(S,S*S) vector reshape).
+    """
+    prec = _precision(dot_dtype)
+    b = band.astype(dot_dtype)
+    v = jax.lax.dot_general(
+        v.astype(dot_dtype), b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (Z, X, Y')
+    v = jax.lax.dot_general(
+        v.astype(dot_dtype), b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (Z, Y', X')
+    return v
+
+
+# For a symmetric band the VJP of the Y/X blur is the Y/X blur itself:
+# dv0[z,y,x] = sum_{y',x'} g[z,y',x'] M[y',y] M[x',x], and applying the same
+# two dim-1 contractions to g yields exactly that (the axis cycling
+# (Z,Y,X)->(Z,X,Y')->(Z,Y',X') self-inverts after two steps).
+_blur_yx_transpose_in_vmem = _blur_yx_in_vmem
+
+
+def _splat_to(vox_ref, gz_ref, gy_ref, gx_ref, c_ref, *, size, dot_dtype,
+              z_chunk):
+    """Shared splat loop: writes the raw (unclamped) grid into ``vox_ref``."""
+    S = size
+    N = gz_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
+    wy = (_hat(iota - gy_ref[0, 0][None, :])).astype(dot_dtype)
+    wx_t = (_hat(iota - gx_ref[0, 0][None, :])).astype(dot_dtype)
+    gz = gz_ref[0, 0][None, :]
+    c = c_ref[0, 0][None, :]
+
+    def body(zc, _):
+        z0 = zc * z_chunk
+        dz = gz - (
+            jax.lax.broadcasted_iota(jnp.int32, (z_chunk, 1, N), 0).astype(
+                jnp.float32
+            )
+            + z0.astype(jnp.float32)
+        )
+        hz = (_hat(dz) * c).astype(dot_dtype)
+        a = (wy[None] * hz).reshape(z_chunk * S, N)
+        slab = jax.lax.dot_general(
+            a, wx_t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dot_dtype),
+        )
+        vox_ref[pl.ds(z0, z_chunk)] = slab.reshape(z_chunk, S, S)
+        return 0
+
+    jax.lax.fori_loop(0, S // z_chunk, body, 0)
+
+
+def _fused_fwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, band_ref,
+                      out_ref, vox_ref, *, size: int, dot_dtype, z_chunk: int):
+    """splat -> clamp -> Y/X blur, all in VMEM (Z blur + scale + clamp run
+    outside as one XLA pass — see splat_blur_pallas)."""
+    _splat_to(vox_ref, gz_ref, gy_ref, gx_ref, c_ref, size=size,
+              dot_dtype=dot_dtype, z_chunk=z_chunk)
+    v = jnp.minimum(vox_ref[:], 1.0)  # splat output is >= 0 by construction
+    out_ref[0] = _blur_yx_in_vmem(v, band_ref[:], dot_dtype)
+
+
+def _fused_bwd_kernel(gz_ref, gy_ref, gx_ref, c_ref, band_ref,
+                      g_ref, dgz_ref, dgy_ref, dgx_ref, dc_ref,
+                      vox_ref, gs_ref, *, size: int, dot_dtype, z_chunk: int):
+    """VJP of the fused op.  Recomputes the splat grid (cheaper than carrying
+    a (B, S^3) residual through HBM), applies the transposed Y/X blur and the
+    clamp mask in VMEM, then runs the splat backward contraction."""
+    S = size
+    N = gz_ref.shape[-1]
+    ZC = z_chunk
+
+    # -- recompute forward splat ------------------------------------------
+    _splat_to(vox_ref, gz_ref, gy_ref, gx_ref, c_ref, size=S,
+              dot_dtype=dot_dtype, z_chunk=ZC)
+
+    # -- blur^T + clamp cotangent (splat >= 0: only min(v, 1) can bind,
+    # and lax.min passes the gradient on ties, hence <=) -------------------
+    gb = _blur_yx_transpose_in_vmem(g_ref[0], band_ref[:], dot_dtype)
+    gs_ref[:] = gb * (vox_ref[:] <= 1.0).astype(jnp.float32)
+
+    # -- splat backward against gs ----------------------------------------
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
+    dy = iota - gy_ref[0, 0][None, :]
+    dx = iota - gx_ref[0, 0][None, :]
+    hat_dy = _hat(dy)
+    hatp_dy = _hat_grad(dy)
+    hatp_dx = _hat_grad(dx)
+    wy_d = hat_dy.astype(dot_dtype)
+    wx_d = _hat(dx).astype(dot_dtype)
+    gz = gz_ref[0, 0][None, :]
+    c = c_ref[0, 0][None, :]
+
+    def body(zc, carry):
+        dgz, dgy, dgx, dc = carry
+        z0 = zc * ZC
+        g_c = gs_ref[pl.ds(z0, ZC)].astype(dot_dtype)
+        dz = gz[None] - (
+            jax.lax.broadcasted_iota(jnp.int32, (ZC, 1, N), 0).astype(
+                jnp.float32
+            )
+            + z0.astype(jnp.float32)
+        )
+        hz = _hat(dz)[:, 0]
+        hzp = _hat_grad(dz)[:, 0]
+        m = jax.lax.dot_general(
+            g_c, wx_d, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dot_dtype),
+        )
+        t0 = jnp.sum(hat_dy[None] * m, axis=1)
+        t1 = jnp.sum(hatp_dy[None] * m, axis=1)
+        p = jax.lax.dot_general(
+            g_c, wy_d, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dot_dtype),
+        )
+        t2 = jnp.sum(hatp_dx[None] * p, axis=1)
+        dgz = dgz + jnp.sum(hzp * t0, axis=0, keepdims=True) * c
+        dgy = dgy - jnp.sum(hz * t1, axis=0, keepdims=True) * c
+        dgx = dgx - jnp.sum(hz * t2, axis=0, keepdims=True) * c
+        dc = dc + jnp.sum(hz * t0, axis=0, keepdims=True)
+        return dgz, dgy, dgx, dc
+
+    zero = jnp.zeros((1, N), jnp.float32)
+    dgz, dgy, dgx, dc = jax.lax.fori_loop(
+        0, S // ZC, body, (zero, zero, zero, zero)
+    )
+    dgz_ref[0] = dgz
+    dgy_ref[0] = dgy
+    dgx_ref[0] = dgx
+    dc_ref[0] = dc
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -223,6 +368,83 @@ def _splat_grid_bwd(size: int, dot_bf16: bool, residuals, g):
 _splat_grid.defvjp(_splat_grid_fwd, _splat_grid_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _splat_blur_grid(gz, gy, gx, c, band, size: int, dot_bf16: bool):
+    return _splat_blur_fwd_impl(gz, gy, gx, c, band, size, dot_bf16)
+
+
+def _splat_blur_fwd_impl(gz, gy, gx, c, band, size: int, dot_bf16: bool):
+    B, N = gz.shape
+    S = size
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    z_chunk = 4 if S % 4 == 0 else 1
+    kernel = functools.partial(
+        _fused_fwd_kernel, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk
+    )
+    vec = lambda x: x.reshape(B, 1, N)
+    vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vec_spec] * 4 + [
+            pl.BlockSpec((S, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, S, S), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, S, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, S, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(vec(gz), vec(gy), vec(gx), vec(c), band)
+
+
+def _splat_blur_grid_fwd(gz, gy, gx, c, band, size: int, dot_bf16: bool):
+    out = _splat_blur_fwd_impl(gz, gy, gx, c, band, size, dot_bf16)
+    return out, (gz, gy, gx, c, band)
+
+
+def _splat_blur_grid_bwd(size: int, dot_bf16: bool, residuals, g):
+    gz, gy, gx, c, band = residuals
+    B, N = gz.shape
+    S = size
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    z_chunk = 4 if S % 4 == 0 else 1
+    kernel = functools.partial(
+        _fused_bwd_kernel, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk
+    )
+    vec = lambda x: x.reshape(B, 1, N)
+    vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dgz, dgy, dgx, dc = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vec_spec] * 4 + [
+            pl.BlockSpec((S, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S, S), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[vec_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, N), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((S, S, S), jnp.float32),
+            pltpu.VMEM((S, S, S), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(vec(gz), vec(gy), vec(gx), vec(c), band, g)
+    # sigma schedules are not trained: the band-matrix cotangent is zero by
+    # contract (documented in splat_blur_pallas)
+    return (dgz.reshape(B, N), dgy.reshape(B, N), dgx.reshape(B, N),
+            dc.reshape(B, N), jnp.zeros_like(band))
+
+
+_splat_blur_grid.defvjp(_splat_blur_grid_fwd, _splat_blur_grid_bwd)
+
+
 def trilinear_splat_pallas(
     points: jnp.ndarray,
     size: int,
@@ -265,3 +487,66 @@ def trilinear_splat_pallas(
 
     vox = _splat_grid(gz, gy, gx, c, S, dot_bf16)
     return jnp.clip(vox, 0.0, 1.0)
+
+
+def splat_blur_pallas(
+    points: jnp.ndarray,
+    size: int,
+    sigma: jnp.ndarray,
+    scale: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    kernel_size: int = 21,
+    border_eps: float = 1e-6,
+    dot_bf16: bool = True,
+) -> jnp.ndarray:
+    """Fused splat -> clamp -> Gaussian blur -> * scale -> clamp (one kernel).
+
+    Equivalent to ``clip(gaussian_blur_3d(trilinear_splat(...), sigma) *
+    scale)`` but the S^3 grid never round-trips through HBM between the splat
+    and the blur stages — at chairs scale the three standalone blur matmul
+    passes cost ~20 ms/step of pure HBM traffic.
+
+    Constraints (asserted/by contract):
+    * the blur kernel is symmetric (Gaussian), so the band matrix is
+      symmetric and the fused backward can reuse it as its own transpose;
+    * ``sigma`` is treated as non-differentiable (it is a training schedule,
+      reference ``training_test_shape_net.py:21-29``) — its cotangent is 0;
+    * ``scale`` IS differentiable (the decoder's scale head).
+    """
+    from im23d_tpu.ops.voxel import _band_matrix, gaussian_kernel_1d
+
+    B, N, _ = points.shape
+    S = int(size)
+
+    grid = (S - 1) * (points + 0.5)
+    in_bounds = jnp.all(
+        (points > -0.5 + border_eps) & (points < 0.5 - border_eps), axis=-1
+    )
+    c = in_bounds.astype(points.dtype)
+    if weights is not None:
+        c = c * weights
+
+    n_pad = _round_up(max(N, _LANES), _LANES)
+    if n_pad != N:
+        pad = [(0, 0), (0, n_pad - N)]
+        grid = jnp.pad(grid, pad + [(0, 0)])
+        c = jnp.pad(c, pad)
+
+    gz, gy, gx = grid[..., 0], grid[..., 1], grid[..., 2]
+    safe = (c > 0).astype(grid.dtype)
+    gz, gy, gx = gz * safe, gy * safe, gx * safe
+
+    band = _band_matrix(gaussian_kernel_1d(sigma, kernel_size), S)
+    # Pallas kernel: splat + clamp + Y/X blur (grid stays in VMEM).  The Z
+    # blur, per-cloud scale and final clamp run as one XLA matmul pass with
+    # a fused epilogue; its gradient (incl. dscale) comes from autodiff.
+    yx = _splat_blur_grid(gz, gy, gx, c, jax.lax.stop_gradient(band),
+                          S, dot_bf16)
+    z = jax.lax.dot_general(
+        band.astype(yx.dtype), yx,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Z', B, Y, X)
+    z = jnp.moveaxis(z, 0, 1)
+    scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
+    return jnp.clip(z * scale.reshape(B, 1, 1, 1), 0.0, 1.0)

@@ -92,3 +92,41 @@ def test_bf16_mode_close_to_f32():
     f32 = np.asarray(trilinear_splat_pallas(jnp.array(pts), S, dot_bf16=False))
     bf16 = np.asarray(trilinear_splat_pallas(jnp.array(pts), S, dot_bf16=True))
     assert np.abs(f32 - bf16).max() < 2e-2
+
+
+def test_fused_splat_blur_matches_unfused():
+    """splat_blur_pallas == clip(blur(clip(splat)) * scale), values + grads."""
+    import numpy as np
+    from im23d_tpu.ops.splat_pallas import splat_blur_pallas
+    from im23d_tpu.ops.voxel import gaussian_blur_3d, trilinear_splat
+
+    rng = np.random.RandomState(3)
+    B, N, S = 2, 160, 16
+    pts = jnp.asarray((rng.rand(B, N, 3) - 0.5) * 1.1, jnp.float32)
+    w = jnp.asarray((rng.rand(B, N) > 0.3), jnp.float32)
+    scale = jnp.asarray(rng.rand(B) * 2.0, jnp.float32)
+    sigma = jnp.float32(0.8)
+
+    ref = gaussian_blur_3d(
+        trilinear_splat(pts, S, weights=w), sigma, kernel_size=9, scale=scale
+    )
+    fused = splat_blur_pallas(pts, S, sigma, scale, weights=w, kernel_size=9,
+                              dot_bf16=False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=1e-6)
+
+    def loss_ref(p, s):
+        v = gaussian_blur_3d(trilinear_splat(p, S, weights=w), sigma,
+                             kernel_size=9, scale=s)
+        return jnp.sum(jnp.sin(v * 3.0))
+
+    def loss_fused(p, s):
+        v = splat_blur_pallas(p, S, sigma, s, weights=w, kernel_size=9,
+                              dot_bf16=False)
+        return jnp.sum(jnp.sin(v * 3.0))
+
+    gp_r, gs_r = jax.grad(loss_ref, argnums=(0, 1))(pts, scale)
+    gp_f, gs_f = jax.grad(loss_fused, argnums=(0, 1))(pts, scale)
+    np.testing.assert_allclose(np.asarray(gp_r), np.asarray(gp_f),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs_r), np.asarray(gs_f),
+                               atol=1e-3, rtol=1e-4)

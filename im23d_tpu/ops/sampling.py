@@ -117,12 +117,21 @@ def resize_bilinear(
     else:
         ys = jnp.clip((jnp.arange(out_h) + 0.5) * (H / out_h) - 0.5, 0, H - 1)
         xs = jnp.clip((jnp.arange(out_w) + 0.5) * (W / out_w) - 0.5, 0, W - 1)
-    gx, gy = jnp.meshgrid(xs, ys)
-    grid = jnp.stack(
-        [gx / max(W - 1, 1) * 2.0 - 1.0, gy / max(H - 1, 1) * 2.0 - 1.0], axis=-1
+    # Axis-aligned resize is separable, and the bilinear weight of source
+    # pixel i at position x is exactly the hat function max(0, 1 - |x - i|):
+    # two small interpolation matmuls on the MXU instead of 4 gathers (the
+    # gather formulation profiled at 20 ms/step at chairs scale just for the
+    # mask downsample).
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - jnp.arange(H)[None, :]))
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - jnp.arange(W)[None, :]))
+    out = jnp.einsum(
+        "oh,bhwc->bowc", ry.astype(img.dtype), img,
+        preferred_element_type=jnp.float32,
     )
-    grid = jnp.broadcast_to(grid[None], (B, out_h, out_w, 2))
-    out = grid_sample_bilinear(img, grid)
+    out = jnp.einsum(
+        "pw,bowc->bopc", rx.astype(img.dtype), out,
+        preferred_element_type=jnp.float32,
+    ).astype(img.dtype)
     return out[..., 0] if squeeze else out
 
 

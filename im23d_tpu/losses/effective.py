@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from im23d_tpu.ops.camera import world_to_camera
 from im23d_tpu.ops.quaternion import quaternion_angle_loss
 from im23d_tpu.ops.sampling import resize_bilinear
-from im23d_tpu.ops.splat_pallas import splat_blur_pallas, trilinear_splat_pallas
+from im23d_tpu.ops.splat_pallas import (
+    projection_silhouette_pallas,
+    trilinear_splat_pallas,
+)
 from im23d_tpu.ops.voxel import (
     gaussian_blur_3d,
     project_silhouette,
@@ -71,15 +74,15 @@ def project_candidates(
         sc = jnp.repeat(scale.reshape(B), C, axis=0)
 
     if scale is not None and jax.default_backend() == "tpu":
-        # fused Pallas kernel: the S^3 grid stays in VMEM through
-        # splat -> blur -> scale -> clamp
-        smooth = splat_blur_pallas(
+        # whole projection as one Pallas kernel: the S^3 grid exists only in
+        # VMEM; HBM sees point rows in, (S, S) silhouettes out
+        sil = projection_silhouette_pallas(
             cam, S, sigma, sc, weights=w, kernel_size=kernel_size
         )
     else:
         vox = _splat(cam, S, w)
         smooth = gaussian_blur_3d(vox, sigma, kernel_size=kernel_size, scale=sc)
-    sil = project_silhouette(termination_probs(smooth))
+        sil = project_silhouette(termination_probs(smooth))
     return sil.reshape(B, C, S, S)
 
 

@@ -130,3 +130,50 @@ def test_fused_splat_blur_matches_unfused():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gs_r), np.asarray(gs_f),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_fused_projection_matches_unfused():
+    """projection_silhouette_pallas == silhouette(termination(blur(splat)))."""
+    import numpy as np
+    from im23d_tpu.ops.splat_pallas import projection_silhouette_pallas
+    from im23d_tpu.ops.voxel import (
+        gaussian_blur_3d,
+        project_silhouette,
+        termination_probs,
+        trilinear_splat,
+    )
+
+    rng = np.random.RandomState(7)
+    B, N, S = 2, 160, 16
+    pts = jnp.asarray((rng.rand(B, N, 3) - 0.5) * 1.1, jnp.float32)
+    w = jnp.asarray((rng.rand(B, N) > 0.3), jnp.float32)
+    scale = jnp.asarray(0.5 + rng.rand(B) * 1.5, jnp.float32)
+    sigma = jnp.float32(0.8)
+
+    def ref(p, s):
+        v = gaussian_blur_3d(trilinear_splat(p, S, weights=w), sigma,
+                             kernel_size=9, scale=s)
+        return project_silhouette(termination_probs(v))
+
+    fused = projection_silhouette_pallas(pts, S, sigma, scale, weights=w,
+                                         kernel_size=9, dot_bf16=False)
+    np.testing.assert_allclose(
+        np.asarray(ref(pts, scale)), np.asarray(fused), atol=1e-5
+    )
+
+    tgt = jnp.asarray(rng.rand(B, S, S).astype(np.float32))
+
+    def loss_ref(p, s):
+        return jnp.sum((ref(p, s) - tgt) ** 2)
+
+    def loss_fused(p, s):
+        v = projection_silhouette_pallas(p, S, sigma, s, weights=w,
+                                         kernel_size=9, dot_bf16=False)
+        return jnp.sum((v - tgt) ** 2)
+
+    gp_r, gs_r = jax.grad(loss_ref, argnums=(0, 1))(pts, scale)
+    gp_f, gs_f = jax.grad(loss_fused, argnums=(0, 1))(pts, scale)
+    np.testing.assert_allclose(np.asarray(gp_r), np.asarray(gp_f),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs_r), np.asarray(gs_f),
+                               atol=1e-3, rtol=1e-3)

@@ -841,6 +841,7 @@ def projection_silhouette_pallas(
     border_eps: float = 1e-6,
     eps: float = 1e-5,
     dot_bf16: bool = True,
+    sorted_blocks: bool = True,
 ) -> jnp.ndarray:
     """Whole rendering-free projection as one Pallas kernel: (B, S, S)
     silhouettes from (B, N, 3) camera-space points.
@@ -849,6 +850,8 @@ def projection_silhouette_pallas(
     trilinear_splat(points, S, weights), sigma, scale=scale)))`` with the S^3
     grid living only in VMEM.  Same contracts as ``splat_blur_pallas``
     (symmetric kernel; sigma non-differentiable; scale differentiable).
+    ``sorted_blocks`` selects the z-sorted block-windowed splat (~10x fewer
+    contraction FLOPs; see the section comment below) over the dense one.
     """
     from im23d_tpu.ops.voxel import _band_matrix, gaussian_kernel_1d
 
@@ -877,4 +880,362 @@ def projection_silhouette_pallas(
         _band_matrix(gaussian_kernel_1d(sigma, kernel_size), S)
     )
     scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
+    if sorted_blocks:
+        return _proj_sorted_grid(gz, gy, gx, c, band, scale, S, dot_bf16,
+                                 float(eps))
     return _proj_grid(gz, gy, gx, c, band, scale, S, dot_bf16, float(eps))
+
+
+# ---------------------------------------------------------------------------
+# Z-sorted block-windowed projection kernel.
+#
+# The dense splat contracts all N points for every z-chunk although only
+# points with gz within 1 cell of the chunk have nonzero hat weights
+# (~(ZC+2)/S of them, ~9% at chairs scale) — a 10x FLOP redundancy.  Here
+# points are sorted by gz outside the kernel (lax.sort, differentiation-free
+# permutation), per-chunk 128-point block windows are found by searchsorted
+# and passed through SMEM, and each chunk contracts only its window via a
+# dynamic-bound fori_loop over lane-aligned blocks.  Culled points carry a
+# sentinel key so they sort to the tail and fall outside every window.
+# ---------------------------------------------------------------------------
+
+_Z_SENTINEL = 4096.0  # sort key for culled points: beyond any chunk window
+
+
+def _sorted_z_chunk(size: int) -> int:
+    # measured on v5e at chairs scale: ZC=8 widens each chunk's point window
+    # more than it saves in loop trips; ZC=4 is the sweet spot
+    for zc in (4, 2):
+        if size % zc == 0:
+            return zc
+    return 1
+
+
+def _splat_sorted_to(vox_ref, gz_ref, gy_ref, gx_ref, c_ref, blo_ref,
+                     bhi_ref, prog, *, size, dot_dtype, z_chunk):
+    """Windowed splat of z-sorted points: writes the raw grid to vox_ref."""
+    S = size
+    ZC = z_chunk
+    BLK = _LANES
+    prec = _precision(dot_dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, BLK), 0).astype(
+        jnp.float32
+    )
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (ZC, 1, BLK), 0).astype(
+        jnp.float32
+    )
+
+    def chunk_body(zc, _):
+        z0 = zc * ZC
+
+        def blk_body(b, acc):
+            sl = pl.ds(b * BLK, BLK)
+            gyb = gy_ref[0, 0, sl][None, :]
+            gxb = gx_ref[0, 0, sl][None, :]
+            cb = c_ref[0, 0, sl][None, :]
+            wyb = _hat(iota - gyb).astype(dot_dtype)       # (S, BLK)
+            wxb = _hat(iota - gxb).astype(dot_dtype)
+            dz = gz_ref[0, 0, sl][None, None] - (
+                iota_z + z0.astype(jnp.float32)
+            )
+            hz = (_hat(dz) * cb[None]).astype(dot_dtype)   # (ZC, 1, BLK)
+            a = (wyb[None] * hz).reshape(ZC * S, BLK)
+            return acc + jax.lax.dot_general(
+                a, wxb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        acc = jax.lax.fori_loop(
+            blo_ref[prog, zc], bhi_ref[prog, zc], blk_body,
+            jnp.zeros((ZC * S, S), jnp.float32),
+        )
+        vox_ref[pl.ds(z0, ZC)] = acc.reshape(ZC, S, S)
+        return 0
+
+    jax.lax.fori_loop(0, S // ZC, chunk_body, 0)
+
+
+def _splat_sorted_bwd_accum(dvox_ref, gz_ref, gy_ref, gx_ref, c_ref,
+                            blo_ref, bhi_ref, dgz_ref, dgy_ref, dgx_ref,
+                            dc_ref, prog, *, size, dot_dtype, z_chunk):
+    """Transpose of the windowed splat: per-point cotangents from the grid
+    cotangent held in ``dvox_ref`` (same contractions as _bwd_kernel, block
+    windows instead of all-N)."""
+    S = size
+    ZC = z_chunk
+    BLK = _LANES
+    N = gz_ref.shape[-1]
+    prec = _precision(dot_dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, BLK), 0).astype(
+        jnp.float32
+    )
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (ZC, 1, BLK), 0).astype(
+        jnp.float32
+    )
+
+    zeros = jnp.zeros((N,), jnp.float32)
+    dgz_ref[0, 0] = zeros
+    dgy_ref[0, 0] = zeros
+    dgx_ref[0, 0] = zeros
+    dc_ref[0, 0] = zeros
+
+    def chunk_body(zc, _):
+        z0 = zc * ZC
+        g_c = dvox_ref[pl.ds(z0, ZC)].astype(dot_dtype)   # (ZC, S, S)
+
+        def blk_body(b, _):
+            sl = pl.ds(b * BLK, BLK)
+            gyb = gy_ref[0, 0, sl][None, :]
+            gxb = gx_ref[0, 0, sl][None, :]
+            cb = c_ref[0, 0, sl]
+            dy = iota - gyb
+            dx = iota - gxb
+            hat_dy = _hat(dy)
+            hatp_dy = _hat_grad(dy)
+            hatp_dx = _hat_grad(dx)
+            wy_d = hat_dy.astype(dot_dtype)
+            wx_d = _hat(dx).astype(dot_dtype)
+            dz = gz_ref[0, 0, sl][None, None] - (
+                iota_z + z0.astype(jnp.float32)
+            )
+            hz = _hat(dz)[:, 0]                            # (ZC, BLK)
+            hzp = _hat_grad(dz)[:, 0]
+            m = jax.lax.dot_general(
+                g_c, wx_d, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                              # (ZC, S, BLK)
+            t0 = jnp.sum(hat_dy[None] * m, axis=1)         # (ZC, BLK)
+            t1 = jnp.sum(hatp_dy[None] * m, axis=1)
+            p = jax.lax.dot_general(
+                g_c, wy_d, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            t2 = jnp.sum(hatp_dx[None] * p, axis=1)
+            dgz_ref[0, 0, sl] = (
+                dgz_ref[0, 0, sl] + jnp.sum(hzp * t0, axis=0) * cb
+            )
+            dgy_ref[0, 0, sl] = (
+                dgy_ref[0, 0, sl] - jnp.sum(hz * t1, axis=0) * cb
+            )
+            dgx_ref[0, 0, sl] = (
+                dgx_ref[0, 0, sl] - jnp.sum(hz * t2, axis=0) * cb
+            )
+            dc_ref[0, 0, sl] = dc_ref[0, 0, sl] + jnp.sum(hz * t0, axis=0)
+            return 0
+
+        jax.lax.fori_loop(blo_ref[prog, zc], bhi_ref[prog, zc], blk_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, S // ZC, chunk_body, 0)
+
+
+def _proj_sorted_fwd_kernel(blo_ref, bhi_ref, gz_ref, gy_ref, gx_ref, c_ref,
+                            band_ref, scale_ref, out_ref, a_ref, b_ref, *,
+                            size: int, dot_dtype, z_chunk: int, eps: float):
+    S = size
+    scale = scale_ref[0, 0, 0]
+    prog = pl.program_id(0)
+    _splat_sorted_to(a_ref, gz_ref, gy_ref, gx_ref, c_ref, blo_ref, bhi_ref,
+                     prog, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk)
+    v = jnp.minimum(a_ref[:], 1.0)
+    a_ref[:] = _blur_yx_in_vmem(v, band_ref[:], dot_dtype)
+    _zblur_ref_to(b_ref, a_ref, band_ref, scale, True, size=S,
+                  dot_dtype=dot_dtype)
+
+    def body(z, carry):
+        sil, cum = carry
+        o = jnp.clip(b_ref[z], eps, 1.0 - eps)
+        exponent = jnp.where(z == 0, eps, cum) + jnp.log(o)
+        return sil + jnp.exp(exponent), cum + jnp.log1p(-o)
+
+    sil, _ = jax.lax.fori_loop(
+        0, S, body,
+        (jnp.zeros((S, S), jnp.float32), jnp.zeros((S, S), jnp.float32)),
+    )
+    out_ref[0] = sil
+
+
+def _proj_sorted_bwd_kernel(blo_ref, bhi_ref, gz_ref, gy_ref, gx_ref, c_ref,
+                            band_ref, scale_ref, g_ref, dgz_ref, dgy_ref,
+                            dgx_ref, dc_ref, ds_ref, a_ref, b_ref, p_ref, *,
+                            size: int, dot_dtype, z_chunk: int, eps: float):
+    """Same structure as _proj_bwd_kernel with windowed splat/splat^T."""
+    S = size
+    scale = scale_ref[0, 0, 0]
+    prog = pl.program_id(0)
+
+    _splat_sorted_to(a_ref, gz_ref, gy_ref, gx_ref, c_ref, blo_ref, bhi_ref,
+                     prog, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk)
+    b_ref[:] = _blur_yx_in_vmem(jnp.minimum(a_ref[:], 1.0), band_ref[:],
+                                dot_dtype)
+    _zblur_ref_to(p_ref, b_ref, band_ref, 1.0, False, size=S,
+                  dot_dtype=dot_dtype)
+
+    gsil = g_ref[0]
+
+    def fwd_body(z, carry):
+        ptot, cum = carry
+        u = p_ref[z] * scale
+        o = jnp.clip(jnp.minimum(u, 1.0), eps, 1.0 - eps)
+        pz = jnp.exp(jnp.where(z == 0, eps, cum) + jnp.log(o))
+        b_ref[z] = pz
+        return ptot + pz, cum + jnp.log1p(-o)
+
+    ptot, _ = jax.lax.fori_loop(
+        0, S, fwd_body,
+        (jnp.zeros((S, S), jnp.float32), jnp.zeros((S, S), jnp.float32)),
+    )
+
+    def bwd_body(z, carry):
+        pcum, ds_acc = carry
+        pz = b_ref[z]
+        pcum = pcum + pz
+        zb = p_ref[z]
+        u = zb * scale
+        sv = jnp.minimum(u, 1.0)
+        o = jnp.clip(sv, eps, 1.0 - eps)
+        mask = ((u <= 1.0) & (sv >= eps) & (sv <= 1.0 - eps)).astype(
+            jnp.float32
+        )
+        do = gsil * pz / o - gsil * (ptot - pcum) / (1.0 - o)
+        du = do * mask
+        b_ref[z] = du
+        return pcum, ds_acc + jnp.sum(du * zb)
+
+    _, ds_val = jax.lax.fori_loop(
+        0, S, bwd_body,
+        (jnp.zeros((S, S), jnp.float32), jnp.float32(0.0)),
+    )
+
+    _zblur_ref_to(p_ref, b_ref, band_ref, scale, False, size=S,
+                  dot_dtype=dot_dtype)
+    dv = _blur_yx_transpose_in_vmem(p_ref[:], band_ref[:], dot_dtype)
+    b_ref[:] = dv * (a_ref[:] <= 1.0).astype(jnp.float32)
+
+    _splat_sorted_bwd_accum(b_ref, gz_ref, gy_ref, gx_ref, c_ref, blo_ref,
+                            bhi_ref, dgz_ref, dgy_ref, dgx_ref, dc_ref, prog,
+                            size=S, dot_dtype=dot_dtype, z_chunk=z_chunk)
+    ds_ref[0] = jnp.full(ds_ref.shape[1:], ds_val)
+
+
+def _sort_and_windows(gz, gy, gx, c, size: int, z_chunk: int):
+    """Sort points by gz (culled -> sentinel tail) + per-chunk block windows.
+
+    Returns sorted (key, gy, gx, c), the permutation (for the backward
+    unsort), and int32 (B, S//ZC) block bounds.
+    """
+    B, N = gz.shape
+    key = jnp.where(c > 0, gz, jnp.float32(_Z_SENTINEL))
+    perm0 = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None], (B, N)
+    )
+    key_s, gy_s, gx_s, c_s, perm = jax.lax.sort(
+        (key, gy, gx, c, perm0), dimension=-1, num_keys=1
+    )
+    CH = size // z_chunk
+    z0s = jnp.arange(CH, dtype=jnp.float32) * z_chunk
+    lo = jax.vmap(lambda a: jnp.searchsorted(a, z0s - 1.0))(key_s)
+    hi = jax.vmap(lambda a: jnp.searchsorted(a, z0s + z_chunk))(key_s)
+    blo = (lo // _LANES).astype(jnp.int32)
+    bhi = ((hi + _LANES - 1) // _LANES).astype(jnp.int32)
+    return key_s, gy_s, gx_s, c_s, perm, blo, bhi
+
+
+def _proj_sorted_call(kernel_fn, n_outs, key_s, gy_s, gx_s, c_s, band,
+                      scale, blo, bhi, extra, size, dot_bf16, eps,
+                      out_shapes, n_scratch):
+    B, N = key_s.shape
+    S = size
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    z_chunk = _sorted_z_chunk(S)
+    CH = S // z_chunk
+    kernel = functools.partial(
+        kernel_fn, size=S, dot_dtype=dot_dtype, z_chunk=z_chunk, eps=eps,
+    )
+    vec = lambda x: x.reshape(B, 1, N)
+    vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # whole-array SMEM (blocked SMEM specs fail the tile-divisibility check
+    # and a (B, 1, CH) block hangs Mosaic); kernels index rows with the
+    # program id hoisted to kernel top level (interpret mode can't lower it
+    # inside loop bodies)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem_spec, smem_spec] + [vec_spec] * 4 + [
+        pl.BlockSpec((S, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        vec_spec,
+    ]
+    operands = [blo, bhi, vec(key_s), vec(gy_s), vec(gx_s), vec(c_s), band,
+                vec(jnp.broadcast_to(scale[:, None], (B, N)))]
+    if extra is not None:  # silhouette cotangent (backward only)
+        in_specs.append(pl.BlockSpec((1, S, S), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(extra)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(out_shapes[0][1] if n_outs == 1
+                   else [s for _, s in out_shapes]),
+        out_shape=(out_shapes[0][0] if n_outs == 1
+                   else [s for s, _ in out_shapes]),
+        scratch_shapes=[pltpu.VMEM((S, S, S), jnp.float32)] * n_scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _proj_sorted_grid(gz, gy, gx, c, band, scale, size: int, dot_bf16: bool,
+                      eps: float):
+    out, _ = _proj_sorted_fwd(gz, gy, gx, c, band, scale, size, dot_bf16,
+                              eps)
+    return out
+
+
+def _proj_sorted_fwd(gz, gy, gx, c, band, scale, size: int, dot_bf16: bool,
+                     eps: float):
+    B, N = gz.shape
+    S = size
+    key_s, gy_s, gx_s, c_s, perm, blo, bhi = _sort_and_windows(
+        gz, gy, gx, c, S, _sorted_z_chunk(S)
+    )
+    vec_spec = pl.BlockSpec((1, S, S), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = _proj_sorted_call(
+        _proj_sorted_fwd_kernel, 1, key_s, gy_s, gx_s, c_s, band, scale,
+        blo, bhi, None, S, dot_bf16, eps,
+        [(jax.ShapeDtypeStruct((B, S, S), jnp.float32), vec_spec)], 2,
+    )
+    out = out[:, ::-1]  # vertical flip (project_silhouette parity)
+    residuals = (key_s, gy_s, gx_s, c_s, perm, blo, bhi, band, scale)
+    return out, residuals
+
+
+def _proj_sorted_bwd(size: int, dot_bf16: bool, eps: float, residuals, g):
+    key_s, gy_s, gx_s, c_s, perm, blo, bhi, band, scale = residuals
+    B, N = key_s.shape
+    S = size
+    vec = lambda x: x.reshape(B, 1, N)
+    vec_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = [(jax.ShapeDtypeStruct((B, 1, N), jnp.float32), vec_spec)] * 5
+    dgz_s, dgy_s, dgx_s, dc_s, ds = _proj_sorted_call(
+        _proj_sorted_bwd_kernel, 5, key_s, gy_s, gx_s, c_s, band, scale,
+        blo, bhi, g[:, ::-1], S, dot_bf16, eps, outs, 3,
+    )
+    # unsort: sorting by the forward permutation restores original order
+    _, dgz, dgy, dgx, dc = jax.lax.sort(
+        (perm, dgz_s.reshape(B, N), dgy_s.reshape(B, N),
+         dgx_s.reshape(B, N), dc_s.reshape(B, N)),
+        dimension=-1, num_keys=1,
+    )
+    return (dgz, dgy, dgx, dc, jnp.zeros_like(band), ds[:, 0, 0])
+
+
+def _proj_sorted_fwd_rule(gz, gy, gx, c, band, scale, size, dot_bf16, eps):
+    return _proj_sorted_fwd(gz, gy, gx, c, band, scale, size, dot_bf16, eps)
+
+
+_proj_sorted_grid.defvjp(_proj_sorted_fwd_rule, _proj_sorted_bwd)

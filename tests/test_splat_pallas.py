@@ -132,7 +132,11 @@ def test_fused_splat_blur_matches_unfused():
                                atol=1e-3, rtol=1e-4)
 
 
-def test_fused_projection_matches_unfused():
+import pytest
+
+
+@pytest.mark.parametrize("sorted_blocks", [False, True])
+def test_fused_projection_matches_unfused(sorted_blocks):
     """projection_silhouette_pallas == silhouette(termination(blur(splat)))."""
     import numpy as np
     from im23d_tpu.ops.splat_pallas import projection_silhouette_pallas
@@ -156,7 +160,8 @@ def test_fused_projection_matches_unfused():
         return project_silhouette(termination_probs(v))
 
     fused = projection_silhouette_pallas(pts, S, sigma, scale, weights=w,
-                                         kernel_size=9, dot_bf16=False)
+                                         kernel_size=9, dot_bf16=False,
+                                         sorted_blocks=sorted_blocks)
     np.testing.assert_allclose(
         np.asarray(ref(pts, scale)), np.asarray(fused), atol=1e-5
     )
@@ -168,7 +173,8 @@ def test_fused_projection_matches_unfused():
 
     def loss_fused(p, s):
         v = projection_silhouette_pallas(p, S, sigma, s, weights=w,
-                                         kernel_size=9, dot_bf16=False)
+                                         kernel_size=9, dot_bf16=False,
+                                         sorted_blocks=sorted_blocks)
         return jnp.sum((v - tgt) ** 2)
 
     gp_r, gs_r = jax.grad(loss_ref, argnums=(0, 1))(pts, scale)

@@ -25,10 +25,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def measure(trainer, batch, steps: int = 6) -> dict:
     import jax
 
+    # Stage the batch on device once: in production the input pipeline
+    # overlaps the ~17 MB fp16 H2D with the step; on the axon RPC tunnel a
+    # per-step upload adds hundreds of ms that say nothing about the step.
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch)
+
+    def sync(losses):
+        # explicit scalar fetch: block_until_ready does not reliably
+        # synchronize through the axon tunnel (see bench.py)
+        for v in losses.values():
+            float(v)
+
     # one G + two D to compile both executables
     for _ in range(3):
         losses = trainer.train_step(batch)
-    jax.block_until_ready(losses)
+    sync(losses)
 
     def time_phase(target_mod):
         # run only iterations whose phase matches (g: it%3==0, d otherwise)
@@ -37,11 +49,9 @@ def measure(trainer, batch, steps: int = 6) -> dict:
             while (trainer.total_it % (1 + trainer.cfg.d_steps_per_g) == 0) != (
                 target_mod == "g"
             ):
-                losses = trainer.train_step(batch)
-                jax.block_until_ready(losses)
+                sync(trainer.train_step(batch))
             t0 = time.perf_counter()
-            losses = trainer.train_step(batch)
-            jax.block_until_ready(losses)
+            sync(trainer.train_step(batch))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -240,6 +240,11 @@ class Generator(nn.Module):
             nn.Conv(3, (5, 5), padding=((2, 2), (0, 0)), name="conv_final",
                     dtype=dt)(pad(x_tex, 2)).astype(jnp.float32)
         ).astype(dt)
+        if dt != jnp.float32:
+            # pin the f32->bf16 convert here: without the barrier XLA sinks
+            # it past the downstream mask-multiply/concat, materializing the
+            # 512^2 x 4 critic input in f32 (~25 ms/step of layout copies)
+            x_tex = jax.lax.optimization_barrier(x_tex)
 
         x_mesh = None
         if self.mesh_head:
@@ -295,8 +300,10 @@ class TextureDiscriminator(nn.Module):
         mask = None
         if cfg.mask_output:
             ds_factor = 16 if stride_first else 8
+            # pool in the input dtype, upcast after: pooling 512^2 alpha in
+            # f32 forces a full-size f32 convert + layout copy (~12 ms/step)
             mask = jax.lax.stop_gradient(
-                avg_pool(x[..., 3:4].astype(jnp.float32), ds_factor)
+                avg_pool(x[..., 3:4], ds_factor).astype(jnp.float32)
             )
         pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
         x = jnp.concatenate(
@@ -357,8 +364,10 @@ class MeshDiscriminator(nn.Module):
         x = jnp.concatenate([x, mesh_map.astype(x.dtype)], axis=-1)
         mask = None
         if cfg.mask_output:
+            # mesh-D input is already pooled to 32^2; keep the same
+            # pool-then-upcast order as the texture D
             mask = jax.lax.stop_gradient(
-                avg_pool(x[..., 3:4].astype(jnp.float32), 4)
+                avg_pool(x[..., 3:4], 4).astype(jnp.float32)
             )
         pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
         x = jnp.concatenate(

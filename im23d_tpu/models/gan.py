@@ -82,6 +82,27 @@ def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return nn.avg_pool(x, (k, k), strides=(k, k))
 
 
+def avg_pool_alpha(alpha: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Box-pool a (B, H, W, 1) map as two H/W matmuls.
+
+    reduce_window on a single-channel tensor forces a C-minor relayout of
+    the full-res map (~12 ms per 512^2 critic call on v5e); contracting the
+    already-tiled H/W axes against a (H/k, H) box matrix instead runs on
+    the MXU with no layout change.  Exactly nn.avg_pool for divisible k.
+    """
+    B, H, W, _ = alpha.shape
+    a = alpha[..., 0]
+    eye_h = (
+        jnp.repeat(jnp.eye(H // k, dtype=a.dtype), k, axis=1) / k
+    )  # (H/k, H)
+    eye_w = jnp.repeat(jnp.eye(W // k, dtype=a.dtype), k, axis=1) / k
+    out = jnp.einsum(
+        "ph,bhw,qw->bpq", eye_h, a, eye_w,
+        preferred_element_type=jnp.float32,
+    ).astype(a.dtype)
+    return out[..., None]
+
+
 def _sn(layer: nn.Module) -> nn.Module:
     return nn.SpectralNorm(layer)
 
@@ -288,7 +309,8 @@ class TextureDiscriminator(nn.Module):
     downsample: int = 1
 
     @nn.compact
-    def __call__(self, x, c=None, caption=None, train: bool = True):
+    def __call__(self, x, c=None, caption=None, train: bool = True,
+                 alpha=None):
         cfg = self.cfg
         if self.downsample > 1:
             x = avg_pool(x, self.downsample)
@@ -301,10 +323,16 @@ class TextureDiscriminator(nn.Module):
         if cfg.mask_output:
             ds_factor = 16 if stride_first else 8
             # pool in the input dtype, upcast after: pooling 512^2 alpha in
-            # f32 forces a full-size f32 convert + layout copy (~12 ms/step)
-            mask = jax.lax.stop_gradient(
-                avg_pool(x[..., 3:4], ds_factor).astype(jnp.float32)
-            )
+            # f32 forces a full-size f32 convert + layout copy (~12 ms/step).
+            # When the caller passes the alpha channel it already holds, pool
+            # it with the matmul box filter — slicing x[..., 3:4] out of the
+            # tiled critic input (or reduce_window on the C=1 map) costs a
+            # full-res layout copy (~12 ms/d-step).
+            if alpha is None:
+                pooled = avg_pool(x[..., 3:4], ds_factor)
+            else:
+                pooled = avg_pool_alpha(alpha, self.downsample * ds_factor)
+            mask = jax.lax.stop_gradient(pooled.astype(jnp.float32))
         pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
         x = jnp.concatenate(
             [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:])).astype(x.dtype)],
@@ -358,17 +386,22 @@ class MeshDiscriminator(nn.Module):
     cfg: GANConfig
 
     @nn.compact
-    def __call__(self, texture, mesh_map, c=None, caption=None, train: bool = True):
+    def __call__(self, texture, mesh_map, c=None, caption=None,
+                 train: bool = True, alpha=None):
         cfg = self.cfg
-        x = avg_pool(texture, texture.shape[1] // mesh_map.shape[1])
+        pool_to_mesh = texture.shape[1] // mesh_map.shape[1]
+        x = avg_pool(texture, pool_to_mesh)
         x = jnp.concatenate([x, mesh_map.astype(x.dtype)], axis=-1)
         mask = None
         if cfg.mask_output:
             # mesh-D input is already pooled to 32^2; keep the same
-            # pool-then-upcast order as the texture D
-            mask = jax.lax.stop_gradient(
-                avg_pool(x[..., 3:4], 4).astype(jnp.float32)
-            )
+            # pool-then-upcast order as the texture D (and the same
+            # slice-free matmul alpha path — avg pools compose)
+            if alpha is None:
+                pooled = avg_pool(x[..., 3:4], 4)
+            else:
+                pooled = avg_pool_alpha(alpha, pool_to_mesh * 4)
+            mask = jax.lax.stop_gradient(pooled.astype(jnp.float32))
         pe = jnp.asarray(positional_encoding(x.shape[1], x.shape[2]))[None]
         x = jnp.concatenate(
             [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:])).astype(x.dtype)],
@@ -416,20 +449,29 @@ class MultiScaleDiscriminator(nn.Module):
     cfg: GANConfig
 
     @nn.compact
-    def __call__(self, x, mesh_map=None, c=None, caption=None, train: bool = True):
+    def __call__(self, x, mesh_map=None, c=None, caption=None,
+                 train: bool = True, alpha=None):
         cfg = self.cfg
         outs, masks = [], []
-        y1, m1 = TextureDiscriminator(cfg, 1, name="d1")(x, c, caption, train)
+        y1, m1 = TextureDiscriminator(cfg, 1, name="d1")(
+            x, c, caption, train, alpha=alpha
+        )
         outs.append(y1)
         masks.append(m1)
         if not cfg.texture_only:
-            y2, m2 = MeshDiscriminator(cfg, name="d2")(x, mesh_map, c, caption, train)
+            y2, m2 = MeshDiscriminator(cfg, name="d2")(
+                x, mesh_map, c, caption, train, alpha=alpha
+            )
         else:
-            y2, m2 = TextureDiscriminator(cfg, 2, name="d2")(x, c, caption, train)
+            y2, m2 = TextureDiscriminator(cfg, 2, name="d2")(
+                x, c, caption, train, alpha=alpha
+            )
         outs.append(y2)
         masks.append(m2)
         if cfg.num_discriminators == 3:
-            y3, m3 = TextureDiscriminator(cfg, 4, name="d3")(x, c, caption, train)
+            y3, m3 = TextureDiscriminator(cfg, 4, name="d3")(
+                x, c, caption, train, alpha=alpha
+            )
             outs.append(y3)
             masks.append(m3)
         elif cfg.num_discriminators != 2:

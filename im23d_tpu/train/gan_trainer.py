@@ -225,10 +225,13 @@ class GANTrainer:
             )
             return out, new["batch_stats"]
 
-        def disc_apply(d_params, d_stats, x, mesh_map, c, caption, train):
+        def disc_apply(d_params, d_stats, x, mesh_map, c, caption, train,
+                       alpha=None):
+            # alpha is channel 3 of x, passed separately so the critics pool
+            # it for their masks without a full-res slice of the tiled input
             (preds, masks), new = self.discriminator.apply(
                 {"params": d_params, "batch_stats": d_stats},
-                x, mesh_map, c, train=train, caption=caption,
+                x, mesh_map, c, train=train, caption=caption, alpha=alpha,
                 mutable=["batch_stats"],
             )
             return preds, masks, new["batch_stats"]
@@ -249,7 +252,8 @@ class GANTrainer:
                 )
                 x_fake = jnp.concatenate([tex * alpha_real, alpha_real], axis=-1)
                 preds, masks, new_dstats = disc_apply(
-                    d_params, d_stats, x_fake, mesh_map, c, caption, True
+                    d_params, d_stats, x_fake, mesh_map, c, caption, True,
+                    alpha=alpha_real,
                 )
                 loss_gan = gan_loss(preds, True, for_discriminator=False,
                                     masks=masks, weights=d_weight, mode=cfg.loss)
@@ -288,6 +292,10 @@ class GANTrainer:
             mesh_map = jax.lax.stop_gradient(mesh_map) if mesh_map is not None else None
             x_fake = jnp.concatenate([tex * alpha_real, alpha_real], axis=-1)
             x_real = jnp.concatenate([batch["texture"], alpha_real], axis=-1)
+            # fake/real ride one concatenated batch (reference divide_pred,
+            # main.py:416-427): two half-batch critic passes were measured
+            # slower on v5e — the B=32 convs win more than the concat
+            # relayout costs
             x_comb = jnp.concatenate([x_fake, x_real], axis=0)
             c_comb = jnp.concatenate([c, c], axis=0) if c is not None else None
             if mesh_map is not None:
@@ -302,9 +310,12 @@ class GANTrainer:
                     jnp.concatenate([caption[1], caption[1]], axis=0),
                 )
 
+            alpha_comb = jnp.concatenate([alpha_real, alpha_real], axis=0)
+
             def loss_fn(params):
                 preds, masks, new_dstats = disc_apply(
-                    params, d_stats, x_comb, mesh_comb, c_comb, caption_comb, True
+                    params, d_stats, x_comb, mesh_comb, c_comb, caption_comb,
+                    True, alpha=alpha_comb,
                 )
                 B = x_fake.shape[0]
                 fake_preds = [p[:B] for p in preds]

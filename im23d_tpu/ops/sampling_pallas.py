@@ -274,9 +274,23 @@ _sample_core.defvjp(_sample_core_fwd, _sample_core_bwd)
 _VMEM_IMG_LIMIT = 8 * 1024 * 1024
 
 
+def _aligned_hw(H: int, W: int, C: int) -> tuple[int, int]:
+    """Smallest (H', W') >= (H, W) satisfying the kernel's tile alignment.
+
+    Zero rows/columns appended past the sampled range contribute nothing
+    (zero padding mode), so aligning by padding is semantics-free.
+    """
+    Hp = _round_up(H, 8)
+    Wp = W
+    while (C * Wp) % 8:
+        Wp += 1
+    return Hp, Wp
+
+
 def fits_pallas(img_shape) -> bool:
     B, H, W, C = img_shape
-    return H % 8 == 0 and (C * W) % 8 == 0 and H * C * W * 4 <= _VMEM_IMG_LIMIT
+    Hp, Wp = _aligned_hw(H, W, C)
+    return Hp * C * Wp * 4 <= _VMEM_IMG_LIMIT
 
 
 def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -293,7 +307,12 @@ def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndar
     hp = _round_up(Hg, _TH)
     wp = _round_up(Wg, _TW)
     coords = _pad_coords(coords, hp, wp)
-    img_hcw = img.transpose(0, 1, 3, 2).reshape(B, H, C * W)
-    wh = min(_WH, H)
-    out = _sample_core(coords, img_hcw, H, W, C, wh)      # (B, C, hp, wp)
+    Hp, Wp = _aligned_hw(H, W, C)
+    if (Hp, Wp) != (H, W):
+        # align by zero-padding (e.g. the circular-padded 130-wide recon
+        # texture); sample coords stay in the original pixel frame
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    img_hcw = img.transpose(0, 1, 3, 2).reshape(B, Hp, C * Wp)
+    wh = min(_WH, Hp)
+    out = _sample_core(coords, img_hcw, Hp, Wp, C, wh)    # (B, C, hp, wp)
     return out[:, :, :Hg, :Wg].transpose(0, 2, 3, 1)

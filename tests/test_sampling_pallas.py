@@ -65,4 +65,31 @@ def test_gradient_parity():
 def test_fits_pallas_gate():
     assert fits_pallas((1, 512, 512, 4))
     assert not fits_pallas((1, 1024, 1024, 4))  # exceeds the VMEM budget
-    assert not fits_pallas((1, 299, 64, 3))     # H not sublane-aligned
+    # unaligned shapes are handled by internal zero padding now
+    assert fits_pallas((1, 299, 64, 3))
+    assert fits_pallas((1, 128, 130, 3))  # circular-padded recon texture
+
+
+def test_unaligned_texture_matches_reference():
+    """128x130x3 (the recon fragment-shader shape) through the padding path."""
+    import numpy as np
+    from im23d_tpu.ops.sampling import grid_sample_bilinear
+
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(2, 128, 130, 3), jnp.float32)
+    grid = jnp.asarray(rng.rand(2, 24, 32, 2) * 2 - 1, jnp.float32)
+    ref = grid_sample_bilinear(img, grid)
+    got = grid_sample_bilinear_pallas(img, grid)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    tgt = jnp.asarray(rng.rand(2, 24, 32, 3), jnp.float32)
+
+    def loss(f, i, g):
+        return jnp.sum((f(i, g) - tgt) ** 2)
+
+    gi_r, gg_r = jax.grad(loss, argnums=(1, 2))(grid_sample_bilinear, img, grid)
+    gi_p, gg_p = jax.grad(loss, argnums=(1, 2))(
+        grid_sample_bilinear_pallas, img, grid
+    )
+    np.testing.assert_allclose(np.asarray(gi_r), np.asarray(gi_p), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_r), np.asarray(gg_p), atol=1e-3)

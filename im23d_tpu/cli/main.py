@@ -66,6 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--which_epoch", type=str, default="latest")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--truncation_sigma", type=float, default=-1)
+    # reference flags accepted for drop-in compatibility (main.py:51-55,77,83)
+    p.add_argument("--gpu_ids", type=str, default="0",
+                   help="accepted for reference parity; devices come from "
+                        "the jax runtime (SPMD over all visible chips)")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="data-loading threads")
+    p.add_argument("--text_max_length", type=int, default=18)
+    p.add_argument("--text_pretrained_encoder", type=str,
+                   default="cache/cub/text_encoder200.pth")
+    p.add_argument("--text_train_encoder", action="store_true")
+    p.add_argument("--text_attention", type=bool, default=True)
+    p.add_argument("--text_embedding_dim", type=int, default=256)
     p.add_argument("--inception_weights", type=str, default=None,
                    help="path to a torchvision inception state dict (npz/pth)")
     return p
@@ -153,6 +165,7 @@ def main(argv=None) -> int:
     tcfg = GANTrainConfig(
         model=mcfg, lr_g=args.lr_g, lr_d=args.lr_d,
         text_vocab_size=max(getattr(ds, "n_words", 0), 2),
+        text_max_length=args.text_max_length,
         d_steps_per_g=args.d_steps_per_g,
         g_ema_alpha=args.g_running_average_alpha,
         mesh_regularization=args.mesh_regularization,

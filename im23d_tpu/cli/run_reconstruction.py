@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_dataset", type=float, default=1e-4)
     p.add_argument("--lr_decay_every", type=int, default=250)
     p.add_argument("--datasets_root", type=str, default="datasets")
+    # reference flags accepted for drop-in compatibility (:49,:60)
+    p.add_argument("--image_freq", type=int, default=10,
+                   help="epochs between TensorBoard image grids")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="data-loading threads")
     return p
 
 
@@ -165,6 +170,14 @@ def main(argv=None) -> int:
             means = trainer.evaluate(val_batches())
             logger.log(trainer.total_it,
                        {f"val/{k}": v for k, v in means.items()})
+        if args.tensorboard and (epoch + 1) % args.image_freq == 0:
+            # multi-view render grid of the first sample (reference logs
+            # these every --image_freq epochs, run_reconstruction.py:487-491)
+            tex, mesh_map = trainer.predict(batch["image"])
+            raw_vtx = trainer.template.get_vertex_positions(mesh_map)
+            grid = trainer.render_multiview(raw_vtx, tex, idx=0)
+            logger.log_images(trainer.total_it, "render_multiview",
+                              grid[None], nrow=1)
     trainer.save()
     return 0
 

@@ -72,7 +72,11 @@ def _window_start(y, H, wh):
     return start, ok
 
 
-def _sample_tile(window, x, y, W, C, row0):
+def _precision(dot_dtype):
+    return (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32 else None)
+
+
+def _sample_tile(window, x, y, W, C, row0, dot_dtype=jnp.float32):
     """Bilinear sample against a (wh, C*W) row window starting at row0.
 
     x-first per-channel contraction: the intermediate is (P, wh) instead of
@@ -82,42 +86,44 @@ def _sample_tile(window, x, y, W, C, row0):
     wh = window.shape[0]
     rows = _row_iota(wh) + row0.astype(jnp.float32)       # (1, wh)
     wy = _hat(y.reshape(_P, 1) - rows)                    # (P, wh)
-    wx = _hat(x.reshape(_P, 1) - _row_iota(W))            # (P, W)
+    wx = _hat(x.reshape(_P, 1) - _row_iota(W)).astype(dot_dtype)
+    win = window.astype(dot_dtype)
     outs = []
     for c in range(C):
         t1y = jax.lax.dot_general(                        # (P, wh)
-            wx, window[:, c * W:(c + 1) * W],
+            wx, win[:, c * W:(c + 1) * W],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_precision(dot_dtype),
         )
         outs.append(jnp.sum(wy * t1y, axis=1, keepdims=True))
     return jnp.concatenate(outs, axis=1).T                # (C, P)
 
 
-def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, wh):
+def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, wh,
+                dot_dtype=jnp.float32):
     xy = coords_ref[0].reshape(2, _P)
     x, y = xy[0], xy[1]
     zero = jnp.asarray(0, jnp.int32)
 
     if wh >= H:
-        out = _sample_tile(img_ref[0], x, y, W, C, zero)
+        out = _sample_tile(img_ref[0], x, y, W, C, zero, dot_dtype)
     else:
         row0, ok = _window_start(y, H, wh)
 
         def windowed(_):
             return _sample_tile(img_ref[0, pl.ds(row0, wh), :], x, y, W, C,
-                                row0)
+                                row0, dot_dtype)
 
         def dense(_):
-            return _sample_tile(img_ref[0], x, y, W, C, zero)
+            return _sample_tile(img_ref[0], x, y, W, C, zero, dot_dtype)
 
         out = jax.lax.cond(ok, windowed, dense, 0)
     out_ref[0] = out.reshape(C, _TH, _TW)
 
 
 def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
-                H, W, C, wh):
+                H, W, C, wh, dot_dtype=jnp.float32):
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -140,34 +146,38 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
         dx_cols = x.reshape(_P, 1) - _row_iota(W)         # (P, W)
         wx = _hat(dx_cols)
         wxp = _hat_grad(dx_cols)
+        wy_d = wy.astype(dot_dtype)
+        wx_d = wx.astype(dot_dtype)
+        win = window.astype(dot_dtype)
+        prec = _precision(dot_dtype)
 
         dgx = jnp.zeros((1, _P), jnp.float32)
         dgy = jnp.zeros((1, _P), jnp.float32)
         dimg_upd = []
         for c in range(C):
             t1c = jax.lax.dot_general(                    # (P, W)
-                wy, window[:, c * W:(c + 1) * W],
+                wy_d, win[:, c * W:(c + 1) * W],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
             dc = dout[c].reshape(_P, 1)                   # (P, 1)
             # diffs are (coord - iota), so _hat_grad IS d hat/d coord
             dgx = dgx + jnp.sum(wxp * t1c * dc, axis=1).reshape(1, _P)
             # d y needs the x-first partial: (P, whh)
             t1y = jax.lax.dot_general(
-                wx, window[:, c * W:(c + 1) * W],
+                wx_d, win[:, c * W:(c + 1) * W],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
             dgy = dgy + jnp.sum(wyp * t1y * dc, axis=1).reshape(1, _P)
             # d img window: Wy^T @ (hatx * dout_c)
             dimg_upd.append(jax.lax.dot_general(
-                wy, wx * dc,
+                wy_d, (wx * dc).astype(dot_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             ))  # (whh, W)
         return dgx, dgy, jnp.concatenate(dimg_upd, axis=1)
 
@@ -203,14 +213,16 @@ def _pad_coords(coords, hp, wp):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _sample_core(coords, img_hcw, H, W, C, wh):
-    return _sample_fwd_impl(coords, img_hcw, H, W, C, wh)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _sample_core(coords, img_hcw, H, W, C, wh, dot_bf16=False):
+    return _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16)
 
 
-def _sample_fwd_impl(coords, img_hcw, H, W, C, wh):
+def _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16=False):
     B, _, hp, wp = coords.shape
-    kernel = functools.partial(_fwd_kernel, H=H, W=W, C=C, wh=wh)
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    kernel = functools.partial(_fwd_kernel, H=H, W=W, C=C, wh=wh,
+                               dot_dtype=dot_dtype)
     return pl.pallas_call(
         kernel,
         grid=(B, hp // _TH, wp // _TW),
@@ -230,15 +242,17 @@ def _sample_fwd_impl(coords, img_hcw, H, W, C, wh):
     )(coords, img_hcw)
 
 
-def _sample_core_fwd(coords, img_hcw, H, W, C, wh):
-    out = _sample_fwd_impl(coords, img_hcw, H, W, C, wh)
+def _sample_core_fwd(coords, img_hcw, H, W, C, wh, dot_bf16=False):
+    out = _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16)
     return out, (coords, img_hcw)
 
 
-def _sample_core_bwd(H, W, C, wh, residuals, dout):
+def _sample_core_bwd(H, W, C, wh, dot_bf16, residuals, dout):
     coords, img_hcw = residuals
     B, _, hp, wp = coords.shape
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C, wh=wh)
+    dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C, wh=wh,
+                               dot_dtype=dot_dtype)
     dimg, dcoords = pl.pallas_call(
         kernel,
         grid=(B, hp // _TH, wp // _TW),
@@ -293,11 +307,15 @@ def fits_pallas(img_shape) -> bool:
     return Hp * C * Wp * 4 <= _VMEM_IMG_LIMIT
 
 
-def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray,
+                                dot_bf16: bool = False) -> jnp.ndarray:
     """Drop-in for ``ops.sampling.grid_sample_bilinear`` (tiled TPU kernel).
 
     img (B, H, W, C) f32, grid (B, Hg, Wg, 2) in [-1, 1] (x, y),
     align_corners=True, zero padding.  Differentiable in both inputs.
+    ``dot_bf16`` runs the hat-weight matmuls single-pass in bf16 (~0.2%
+    sampling error, ~3x fewer MXU passes) — used by training-loop renders;
+    eval/parity paths keep the default f32 (HIGHEST) precision.
     """
     B, H, W, C = img.shape
     _, Hg, Wg, _ = grid.shape
@@ -314,5 +332,5 @@ def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndar
         img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
     img_hcw = img.transpose(0, 1, 3, 2).reshape(B, Hp, C * Wp)
     wh = min(_WH, Hp)
-    out = _sample_core(coords, img_hcw, Hp, Wp, C, wh)    # (B, C, hp, wp)
-    return out[:, :, :Hg, :Wg].transpose(0, 2, 3, 1)
+    out = _sample_core(coords, img_hcw, Hp, Wp, C, wh, dot_bf16)
+    return out[:, :, :Hg, :Wg].transpose(0, 2, 3, 1)      # (B, Hg, Wg, C)

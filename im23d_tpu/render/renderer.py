@@ -30,17 +30,21 @@ def fragment_shader(
     texture: jnp.ndarray,
     mask: jnp.ndarray,
     background: jnp.ndarray | None = None,
+    fast_sampling: bool = False,
 ) -> jnp.ndarray:
     """Sample the texture at rasterized UVs and composite with the mask.
 
     Parity: ``fragmentshader`` (``fragment_shader.py:6-37``); texture is NHWC.
+    ``fast_sampling`` uses single-pass bf16 hat matmuls (~0.2% error) — for
+    training-loop renders; eval/parity renders keep exact f32.
     """
     grid = texcoords * 2.0 - 1.0
     grid = grid * jnp.asarray([1.0, -1.0], grid.dtype)  # flip v
     # texture lookup: tiled Pallas kernel on TPU (XLA's gather lowering
     # serializes per texel); XLA gather elsewhere / for VMEM-exceeding sources
     if jax.default_backend() == "tpu" and fits_pallas(texture.shape):
-        color = grid_sample_bilinear_pallas(texture, grid)
+        color = grid_sample_bilinear_pallas(texture, grid,
+                                            dot_bf16=fast_sampling)
     else:
         color = grid_sample_bilinear(texture, grid)  # (B, H, W, C)
     if background is None:
@@ -68,6 +72,7 @@ def render_mesh(
     return_hardmask: bool = False,
     sigma: float = 1e-4,
     cull_backfaces: bool = True,
+    fast_sampling: bool = False,
 ):
     """Render textured meshes orthographically.
 
@@ -90,7 +95,8 @@ def render_mesh(
     texcoords = feat[..., :2]
     hardmask = feat[..., 2:3]
 
-    image = fragment_shader(texcoords, texture, hardmask, background)
+    image = fragment_shader(texcoords, texture, hardmask, background,
+                            fast_sampling=fast_sampling)
     alpha = hardmask if return_hardmask else soft
     normals = compute_face_normals(verts, faces)
     return image, alpha, normals

@@ -171,6 +171,9 @@ class ReconTrainer:
         image, alpha, _ = render_mesh(
             vtx, self.template.faces_j, uvs, self.template.face_uvs_j,
             tex_adj, res, res,
+            # training renders take the fast bf16 sampling path; eval and
+            # pseudo-gt renders keep exact f32 sampling
+            fast_sampling=train,
         )
         return raw_vtx, vtx, image, alpha
 

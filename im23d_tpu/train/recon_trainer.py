@@ -22,7 +22,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import pathlib
-from typing import Any
 
 import jax
 import jax.numpy as jnp

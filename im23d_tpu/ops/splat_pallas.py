@@ -1042,14 +1042,32 @@ def _proj_sorted_fwd_kernel(blo_ref, bhi_ref, gz_ref, gy_ref, gx_ref, c_ref,
     _zblur_ref_to(b_ref, a_ref, band_ref, scale, True, size=S,
                   dot_dtype=dot_dtype)
 
-    def body(z, carry):
+    # termination probs + depth sum, 8-plane slabs with batched
+    # transcendentals (a plane-at-a-time loop is latency-bound: 64 scalar-
+    # carried iterations of (S, S) work)
+    TC = 8 if S % 8 == 0 else 1
+
+    def body(zc, carry):
         sil, cum = carry
-        o = jnp.clip(b_ref[z], eps, 1.0 - eps)
-        exponent = jnp.where(z == 0, eps, cum) + jnp.log(o)
-        return sil + jnp.exp(exponent), cum + jnp.log1p(-o)
+        slab = b_ref[pl.ds(zc * TC, TC)]                  # (TC, S, S)
+        o = jnp.clip(slab, eps, 1.0 - eps)
+        lo = jnp.log(o)
+        lv = jnp.log1p(-o)
+        pres = []
+        for i in range(TC):
+            pres.append(cum)
+            cum = cum + lv[i]
+        expo = jnp.stack(pres) + lo                        # (TC, S, S)
+        first = jnp.full((S, S), eps, jnp.float32)
+        expo = jnp.where(
+            (zc == 0)
+            & (jax.lax.broadcasted_iota(jnp.int32, (TC, 1, 1), 0) == 0),
+            first[None] + lo, expo,
+        )
+        return sil + jnp.sum(jnp.exp(expo), axis=0), cum
 
     sil, _ = jax.lax.fori_loop(
-        0, S, body,
+        0, S // TC, body,
         (jnp.zeros((S, S), jnp.float32), jnp.zeros((S, S), jnp.float32)),
     )
     out_ref[0] = sil
@@ -1072,38 +1090,57 @@ def _proj_sorted_bwd_kernel(blo_ref, bhi_ref, gz_ref, gy_ref, gx_ref, c_ref,
                   dot_dtype=dot_dtype)
 
     gsil = g_ref[0]
+    TC = 8 if S % 8 == 0 else 1
 
-    def fwd_body(z, carry):
+    def fwd_body(zc, carry):
         ptot, cum = carry
-        u = p_ref[z] * scale
+        u = p_ref[pl.ds(zc * TC, TC)] * scale              # (TC, S, S)
         o = jnp.clip(jnp.minimum(u, 1.0), eps, 1.0 - eps)
-        pz = jnp.exp(jnp.where(z == 0, eps, cum) + jnp.log(o))
-        b_ref[z] = pz
-        return ptot + pz, cum + jnp.log1p(-o)
+        lo = jnp.log(o)
+        lv = jnp.log1p(-o)
+        pres = []
+        for i in range(TC):
+            pres.append(cum)
+            cum = cum + lv[i]
+        expo = jnp.stack(pres) + lo
+        first = jnp.full((S, S), eps, jnp.float32)
+        expo = jnp.where(
+            (zc == 0)
+            & (jax.lax.broadcasted_iota(jnp.int32, (TC, 1, 1), 0) == 0),
+            first[None] + lo, expo,
+        )
+        pz = jnp.exp(expo)
+        b_ref[pl.ds(zc * TC, TC)] = pz
+        return ptot + jnp.sum(pz, axis=0), cum
 
     ptot, _ = jax.lax.fori_loop(
-        0, S, fwd_body,
+        0, S // TC, fwd_body,
         (jnp.zeros((S, S), jnp.float32), jnp.zeros((S, S), jnp.float32)),
     )
 
-    def bwd_body(z, carry):
+    def bwd_body(zc, carry):
         pcum, ds_acc = carry
-        pz = b_ref[z]
-        pcum = pcum + pz
-        zb = p_ref[z]
+        pz = b_ref[pl.ds(zc * TC, TC)]
+        zb = p_ref[pl.ds(zc * TC, TC)]
         u = zb * scale
         sv = jnp.minimum(u, 1.0)
         o = jnp.clip(sv, eps, 1.0 - eps)
         mask = ((u <= 1.0) & (sv >= eps) & (sv <= 1.0 - eps)).astype(
             jnp.float32
         )
-        do = gsil * pz / o - gsil * (ptot - pcum) / (1.0 - o)
+        pcs = []
+        for i in range(TC):
+            pcum = pcum + pz[i]
+            pcs.append(pcum)
+        pcum_stack = jnp.stack(pcs)                        # (TC, S, S)
+        do = (gsil[None] * pz / o
+              - gsil[None] * (ptot[None] - pcum_stack) / (1.0 - o))
         du = do * mask
-        b_ref[z] = du
+        b_ref[pl.ds(zc * TC, TC)] = du
         return pcum, ds_acc + jnp.sum(du * zb)
 
     _, ds_val = jax.lax.fori_loop(
-        0, S, bwd_body,
+        0, S // TC, bwd_body,
         (jnp.zeros((S, S), jnp.float32), jnp.float32(0.0)),
     )
 

@@ -151,3 +151,29 @@ def test_mixed_precision_matches_f32():
     )
     for a, b in zip(outs["float32"][1], outs["bfloat16"][1]):
         np.testing.assert_allclose(float(a), float(b), atol=0.05)
+
+
+def test_discriminator_alpha_mask_path_matches_slice():
+    """Masks pooled from the passed alpha == masks sliced from channel 3.
+
+    The trainer passes the alpha it already holds so the critics avoid a
+    full-res slice of the tiled input; the two pooling routes must agree.
+    """
+    cfg = GANConfig(texture_resolution=128, n_classes=(7,))
+    rng = np.random.RandomState(3)
+    tex = jnp.asarray(rng.rand(2, 128, 128, 3), jnp.float32)
+    alpha = jnp.asarray(rng.rand(2, 128, 128, 1), jnp.float32)
+    mesh = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    x = jnp.concatenate([tex * alpha, alpha], axis=-1)
+    disc = MultiScaleDiscriminator(cfg)
+    dv = disc.init(jax.random.PRNGKey(0), x, mesh, train=False)
+    (p_slice, m_slice), _ = disc.apply(dv, x, mesh, train=True,
+                                       mutable=["batch_stats"])
+    (p_alpha, m_alpha), _ = disc.apply(dv, x, mesh, train=True, alpha=alpha,
+                                       mutable=["batch_stats"])
+    for a, b in zip(p_slice, p_alpha):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(m_slice, m_alpha):
+        if a is not None:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)

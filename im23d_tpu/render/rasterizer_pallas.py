@@ -190,8 +190,8 @@ def _col(chunk, c):
     return chunk[:, c:c + 1]
 
 
-def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, *,
-                num_chunks: int, num_attrs: int, height: int, width: int,
+def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, bz_ref, bc_ref,
+                *, num_chunks: int, num_attrs: int, height: int, width: int,
                 sigma: float, margin: float):
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -215,7 +215,7 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, *,
     inv_sigma = 1.0 / sigma
 
     def chunk_body(c, carry):
-        best_z, wacc, log_miss = carry
+        best_z, best_c, wacc, log_miss = carry
         # bboxes are margin-expanded for the soft term; the hard pass only
         # needs the unexpanded box, so boundary chunks skip the winner work
         active_cov = (
@@ -258,10 +258,11 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, *,
                 ) / cnt  # (A3, P)
                 better = cz > best_z  # strict: earlier chunks keep ties
                 return (jnp.where(better, cz, best_z),
+                        jnp.where(better, c, best_c),
                         jnp.where(better, w_chunk, wacc))
 
-            new_z, new_w = jax.lax.cond(
-                active_hard, hard, lambda _: (best_z, wacc), 0
+            new_z, new_c, new_w = jax.lax.cond(
+                active_hard, hard, lambda _: (best_z, best_c, wacc), 0
             )
 
             # soft coverage: squared distance to the nearest of 3 segments,
@@ -287,15 +288,16 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, *,
             new_lm = log_miss + jnp.sum(
                 jnp.log1p(-jnp.minimum(cov, 1.0 - 1e-7)), axis=0, keepdims=True
             )
-            return new_z, new_w, new_lm
+            return new_z, new_c, new_w, new_lm
 
         return jax.lax.cond(active_cov, work, lambda _: carry, 0)
 
     best_z0 = jnp.full((1, P), _NEG_BIG, jnp.float32)
+    best_c0 = jnp.full((1, P), -1, jnp.int32)
     wacc0 = jnp.zeros((A3, P), jnp.float32)
     lm0 = jnp.zeros((1, P), jnp.float32)
-    best_z, wacc, log_miss = jax.lax.fori_loop(
-        0, num_chunks, chunk_body, (best_z0, wacc0, lm0)
+    best_z, best_c, wacc, log_miss = jax.lax.fori_loop(
+        0, num_chunks, chunk_body, (best_z0, best_c0, wacc0, lm0)
     )
 
     covered = best_z > _NEG_BIG * 0.5  # (1, P)
@@ -309,6 +311,9 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, *,
         rows.append(jnp.where(covered, val, 0.0))
     feat_ref[0] = jnp.concatenate(rows, axis=0).reshape(num_attrs, _TH, _TW)
     soft_ref[0] = (1.0 - jnp.exp(log_miss)).reshape(1, _TH, _TW)
+    # winner cache: lets the backward skip its find pass
+    bz_ref[0] = best_z.reshape(1, _TH, _TW)
+    bc_ref[0] = best_c.reshape(1, _TH, _TW)
 
 
 def _use_interpret() -> bool:
@@ -316,12 +321,13 @@ def _use_interpret() -> bool:
 
 
 def _bwd_kernel(bbox_ref, planes_ref, dfeat_ref, dsoft_ref, soft_ref,
-                dplanes_ref, *, num_chunks: int, num_attrs: int,
-                height: int, width: int, sigma: float, margin: float):
+                bz_ref, bc_ref, dplanes_ref, *, num_chunks: int,
+                num_attrs: int, height: int, width: int, sigma: float,
+                margin: float):
     """d(planes) for the tiled rasterizer.
 
-    Pass 1 re-finds each pixel's winning chunk (hard work only); pass 2
-    walks chunks again, rebuilding the winner mask and the coverage terms,
+    The forward saved each pixel's winning (z, chunk); the single pass here
+    walks chunks, rebuilding the winner mask and the coverage terms,
     and accumulates per-face gradients:
 
     * attribute planes: one MXU contraction of the normalized winner mask
@@ -377,26 +383,9 @@ def _bwd_kernel(bbox_ref, planes_ref, dfeat_ref, dsoft_ref, soft_ref,
                 + _col(chunk, _Z + 2))
         return front, inside, zval
 
-    # pass 1: winning chunk per pixel
-    def find_body(c, carry):
-        best_z, best_c = carry
-
-        def work(_):
-            chunk = planes_ref[0, pl.ds(c * _CF, _CF), :]
-            _, inside, zval = inside_and_z(chunk)
-            cz = jnp.max(jnp.where(inside, zval, _NEG_BIG), axis=0,
-                         keepdims=True)
-            better = cz > best_z
-            return (jnp.where(better, cz, best_z),
-                    jnp.where(better, c, best_c))
-
-        return jax.lax.cond(chunk_active(c, False), work, lambda _: carry, 0)
-
-    best_z, best_c = jax.lax.fori_loop(
-        0, num_chunks, find_body,
-        (jnp.full((1, P), _NEG_BIG, jnp.float32),
-         jnp.full((1, P), -1, jnp.int32)),
-    )
+    # winner cache from the forward (replaces the old find pass)
+    best_z = bz_ref[0].reshape(1, P)
+    best_c = bc_ref[0].reshape(1, P)
 
     # upstream grads in pixel-on-lanes layout
     dfeat = dfeat_ref[0].reshape(num_attrs, P)
@@ -492,8 +481,8 @@ def _bwd_kernel(bbox_ref, planes_ref, dfeat_ref, dsoft_ref, soft_ref,
     jax.lax.fori_loop(0, num_chunks, grad_body, 0)
 
 
-def _raster_bwd_impl(planes, bboxes, dfeat, dsoft, soft, height, width,
-                     sigma, margin, num_attrs):
+def _raster_bwd_impl(planes, bboxes, dfeat, dsoft, soft, bz, bc, height,
+                     width, sigma, margin, num_attrs):
     B, f_pad, _ = planes.shape
     num_chunks = f_pad // _CF
     hp = _round_up(height, _TH)
@@ -522,12 +511,14 @@ def _raster_bwd_impl(planes, bboxes, dfeat, dsoft, soft, height, width,
             img_spec(num_attrs),
             img_spec(1),
             img_spec(1),
+            img_spec(1),
+            img_spec(1),
         ],
         out_specs=pl.BlockSpec((1, f_pad, _R), lambda b, i, j: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, f_pad, _R), jnp.float32),
         interpret=_use_interpret(),
-    )(bboxes, planes, dfeat, dsoft, soft)
+    )(bboxes, planes, dfeat, dsoft, soft, bz, bc)
 
 
 def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,
@@ -546,7 +537,14 @@ def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,
         sigma=float(sigma),
         margin=float(margin),
     )
-    feat, soft = pl.pallas_call(
+    img_out = lambda ch, dt: (
+        pl.BlockSpec((1, ch, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((B, ch, hp, wp), dt),
+    )
+    outs = [img_out(num_attrs, jnp.float32), img_out(1, jnp.float32),
+            img_out(1, jnp.float32), img_out(1, jnp.int32)]
+    feat, soft, bz, bc = pl.pallas_call(
         kernel,
         grid=(B, hp // _TH, wp // _TW),
         in_specs=[
@@ -555,41 +553,35 @@ def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,
             pl.BlockSpec((1, f_pad, _R), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, num_attrs, _TH, _TW),
-                         lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TH, _TW),
-                         lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, num_attrs, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, hp, wp), jnp.float32),
-        ],
+        out_specs=[o[0] for o in outs],
+        out_shape=[o[1] for o in outs],
         interpret=_use_interpret(),
     )(bboxes, planes)
-    # NCHW (lane-friendly writes) -> NHWC crop
+    # NCHW (lane-friendly writes) -> NHWC crop; bz/bc stay padded NCHW for
+    # the backward kernel's winner cache
     feat = feat[:, :, :height, :width].transpose(0, 2, 3, 1)
     soft = soft[:, :, :height, :width].transpose(0, 2, 3, 1)
-    return feat, soft
+    return feat, soft, bz, bc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _raster_core(planes, bboxes, height, width, sigma, margin, num_attrs):
-    return _rasterize_from_planes(
+    feat, soft, _, _ = _rasterize_from_planes(
         planes, bboxes, height, width, sigma, margin, num_attrs
     )
+    return feat, soft
 
 
 def _raster_core_fwd(planes, bboxes, height, width, sigma, margin, num_attrs):
-    feat, soft = _rasterize_from_planes(
+    feat, soft, bz, bc = _rasterize_from_planes(
         planes, bboxes, height, width, sigma, margin, num_attrs
     )
-    return (feat, soft), (planes, bboxes, soft)
+    return (feat, soft), (planes, bboxes, soft, bz, bc)
 
 
 def _raster_core_bwd(height, width, sigma, margin, num_attrs, residuals,
                      grads):
-    planes, bboxes, soft = residuals
+    planes, bboxes, soft, bz, bc = residuals
     dfeat, dsoft = grads                 # cropped NHWC cotangents
     hp = _round_up(height, _TH)
     wp = _round_up(width, _TW)
@@ -602,7 +594,8 @@ def _raster_core_bwd(height, width, sigma, margin, num_attrs, residuals,
 
     dplanes = _raster_bwd_impl(
         planes, bboxes, to_padded_nchw(dfeat), to_padded_nchw(dsoft),
-        to_padded_nchw(soft), height, width, sigma, margin, num_attrs,
+        to_padded_nchw(soft), bz, bc, height, width, sigma, margin,
+        num_attrs,
     )
     return dplanes, jnp.zeros_like(bboxes)
 

@@ -18,6 +18,85 @@ import re
 import time
 
 
+def _prior_value(unit: str, metric: str | None = None):
+    """Latest recorded value with this unit (and metric, if given) from
+    prior rounds' ``BENCH_r*.json``.
+
+    The driver wraps the benchmark's JSON line under a ``"parsed"`` key
+    (see ``BENCH_r01.json``); bare records are accepted too so local
+    ``python bench.py > BENCH_rXX.json`` snapshots also count.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = None
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.findall(r"\d+", os.path.basename(p))[0]),
+    )
+    for path in paths:
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            rec = rec.get("parsed", rec)
+            if rec.get("unit") == unit and (
+                metric is None or rec.get("metric") == metric
+            ):
+                prior = float(rec["value"])
+        except Exception:
+            pass
+    return prior
+
+
+def main_gan() -> None:
+    """Second driver-visible metric: 512x512 conditional GAN iteration time.
+
+    Wraps ``benchmarks/gan_step.py`` (bf16 path, reference 1G+2D iteration
+    pattern, batch 32) into the same one-JSON-line contract so round-over-
+    round regression tracking covers pipeline B as well.
+    """
+    from im23d_tpu.core.jax_setup import setup_jax
+
+    setup_jax()
+    import numpy as np
+
+    from benchmarks.gan_step import measure
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.models.gan import GANConfig
+    from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    B, R = 32, 512
+    template = MeshTemplate(segments=32, rings=16)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        texture=rng.standard_normal((B, R, R, 3)).astype(np.float16),
+        alpha=rng.random((B, R, R, 1)).astype(np.float16),
+        mesh=(rng.standard_normal((B, 32, 32, 3)) * 0.01).astype(np.float16),
+        c=np.stack([rng.integers(0, 200, B), np.zeros(B)], 1).astype(np.int32),
+    )
+    cfg = GANTrainConfig(
+        model=GANConfig(
+            texture_resolution=R, conditional_class=True,
+            compute_dtype="bfloat16",
+        ),
+        batch_size=B,
+    )
+    trainer = GANTrainer(cfg, template=template)
+    out = measure(trainer, batch)
+    value = out["iter_3step_ms"]
+    prior = _prior_value("ms", "gan_512_cond_iter_time")
+    # lower is better for a time metric
+    vs_baseline = prior / value if prior else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "gan_512_cond_iter_time",
+                "value": value,
+                "unit": "ms",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     from im23d_tpu.core.jax_setup import setup_jax
 
@@ -75,15 +154,7 @@ def main() -> None:
     dt = min(measure() for _ in range(3))
     imgs_per_sec = cfg.batch_size * n_steps / dt
 
-    prior = None
-    for path in sorted(glob.glob("BENCH_r*.json"), key=lambda p: int(re.findall(r"\d+", p)[0])):
-        try:
-            with open(path) as fh:
-                rec = json.load(fh)
-            if rec.get("unit") == "imgs/sec":
-                prior = float(rec["value"])
-        except Exception:
-            pass
+    prior = _prior_value("imgs/sec")
 
     vs_baseline = imgs_per_sec / prior if prior else 1.0
     print(
@@ -99,4 +170,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--metric", choices=("chairs", "gan"), default="chairs",
+        help="chairs = ShapeNet train throughput (driver default); "
+        "gan = 512x512 conditional GAN iteration time",
+    )
+    if ap.parse_args().metric == "gan":
+        main_gan()
+    else:
+        main()

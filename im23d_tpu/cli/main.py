@@ -21,11 +21,13 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from im23d_tpu.cli.flags import str2bool
+
     p = argparse.ArgumentParser(description=__doc__)
     # Model settings (reference main.py:39-55)
     p.add_argument("--texture_resolution", type=int, default=512)
     p.add_argument("--mesh_resolution", type=int, default=32)
-    p.add_argument("--symmetric_g", type=bool, default=True)
+    p.add_argument("--symmetric_g", type=str2bool, default=True)
     p.add_argument("--texture_only", action="store_true")
     p.add_argument("--conditional_class", action="store_true")
     p.add_argument("--conditional_color", action="store_true")
@@ -44,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--g_running_average_alpha", type=float, default=0.999)
     p.add_argument("--lr_decay_after", type=int, default=1000)
     p.add_argument("--loss", type=str, default="hinge")
-    p.add_argument("--mask_output", type=bool, default=True)
+    p.add_argument("--mask_output", type=str2bool, default=True)
     p.add_argument("--num_discriminators", type=int, default=-1)
     p.add_argument("--compute_dtype", type=str, default="auto",
                    choices=("auto", "float32", "bfloat16"),
@@ -76,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text_pretrained_encoder", type=str,
                    default="cache/cub/text_encoder200.pth")
     p.add_argument("--text_train_encoder", action="store_true")
-    p.add_argument("--text_attention", type=bool, default=True)
+    p.add_argument("--text_attention", type=str2bool, default=True)
     p.add_argument("--text_embedding_dim", type=int, default=256)
     p.add_argument("--inception_weights", type=str, default=None,
                    help="path to a torchvision inception state dict (npz/pth)")

@@ -115,20 +115,62 @@ def load_precomputed_stats(path: str):
 
 def export_results(gan_trainer, template, out_dir: str, n_samples: int = 16,
                    truncation_sigma: float = 1.0, classes=None,
-                   render_res: int = 512, rng=None) -> list[str]:
-    """--save_results path: export obj/mtl/png per sample + a render grid."""
+                   poses=None, caption_tokens=None, render_res: int = 512,
+                   grid_path: str | None = None, rng=None) -> list[str]:
+    """--save_results path (reference ``main.py:836-896``): export
+    obj/mtl/png per sample (Y-up, like the reference's Y/Z swap) and, when
+    ``poses`` (dict of scale/translation/rotation arrays) are given, render
+    the batch under those dataset poses on a white background, 2x average-
+    pooled for anti-aliasing, into a single grid PNG.
+    """
     os.makedirs(out_dir, exist_ok=True)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     z = gan_trainer.truncation_sample(rng, n_samples, truncation_sigma)
     c = None
     if classes is not None:
         c = jnp.asarray(classes, jnp.int32)
-    tex, mesh_map = gan_trainer.generate(z, c)
+        if c.ndim == 1:
+            c = c[:, None]
+    tex, mesh_map = gan_trainer.generate(z, c, caption_tokens=caption_tokens)
     vtx = template.get_vertex_positions(mesh_map)
     files = []
     tex01 = np.asarray(tex / 2.0 + 0.5)
+    vtx_obj = np.asarray(vtx)[:, :, [0, 2, 1]]  # swap Y/Z: result is Y-up
     for i in range(n_samples):
-        prefix = os.path.join(out_dir, f"sample_{i:03d}")
-        template.export_obj(prefix, np.asarray(vtx)[i], tex01[i])
+        prefix = os.path.join(out_dir, f"mesh_{i}")
+        template.export_obj(prefix, vtx_obj[i], tex01[i])
         files.append(prefix + ".obj")
+
+    if poses is not None:
+        img, alpha = jax.jit(
+            lambda m, t, s, tr, r: render_generated(
+                template, render_res, m, t, s, tr, r
+            )
+        )(
+            mesh_map, tex,
+            jnp.asarray(poses["scale"], jnp.float32).reshape(-1),
+            jnp.asarray(poses["translation"], jnp.float32),
+            jnp.asarray(poses["rotation"], jnp.float32),
+        )
+        img = np.asarray(img)
+        alpha = np.asarray(alpha)
+        img = np.where(alpha > 0, img, 1.0)  # white background
+        # 2x average-pool anti-aliasing (reference avg_pool2d(image, 2))
+        H = img.shape[1] // 2 * 2
+        img = img[:, :H, :H]
+        img = img.reshape(img.shape[0], H // 2, 2, H // 2, 2, -1).mean((2, 4))
+        n, h, w, ch = img.shape
+        ncol = min(8, n)
+        nrows = -(-n // ncol)
+        grid = np.ones((nrows * h, ncol * w, ch), np.float32)
+        for i in range(n):
+            r, col = divmod(i, ncol)
+            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img[i]
+        from PIL import Image
+
+        grid_path = grid_path or (out_dir.rstrip("/\\") + ".png")
+        Image.fromarray(
+            (np.clip(grid, 0, 1) * 255).astype(np.uint8)
+        ).save(grid_path)
+        files.append(grid_path)
     return files

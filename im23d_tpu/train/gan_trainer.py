@@ -124,6 +124,12 @@ class GANTrainer:
         self._build_steps()
         self.total_it = 0
         self.epoch = 0
+        # loss curves persisted with checkpoints (reference stores g/d_fake/
+        # d_real/flat curves in every checkpoint dict, main.py:749-775);
+        # appended from the host log points, saved as npz beside the orbax dir
+        self.curves: dict[str, list] = {
+            "g_loss": [], "flat_loss": [], "d_fake": [], "d_real": [],
+        }
 
     # -- init -------------------------------------------------------------
 
@@ -431,16 +437,51 @@ class GANTrainer:
             total_it=self.total_it, epoch=self.epoch,
         )
 
-    def save(self, workdir: str | None = None) -> str:
-        return save_checkpoint(
-            workdir or self.workdir, self.total_it, self._state_tree()
+    def record_curves(self, losses: dict) -> None:
+        """Append host-side scalar losses to the persisted curves."""
+        for k, v in losses.items():
+            if k in self.curves:
+                self.curves[k].append(float(v))
+
+    def _curves_path(self, workdir: str, step) -> str:
+        import os
+
+        return os.path.join(
+            os.path.abspath(workdir), "checkpoints", f"curves_{step}.npz"
         )
 
-    def restore(self, workdir: str | None = None, step: int | None = None):
+    def save(self, workdir: str | None = None, tag=None) -> str:
+        """Save a checkpoint.  ``tag=None`` -> permanent numbered checkpoint
+        at the current iteration; ``tag='latest'`` -> rolling overwrite
+        (reference two-tier --save_freq / --checkpoint_freq scheme,
+        ``main.py:770-775``)."""
+        import numpy as np
+
+        workdir = workdir or self.workdir
+        step = self.total_it if tag is None else tag
+        path = save_checkpoint(workdir, step, self._state_tree())
+        np.savez(
+            self._curves_path(workdir, step),
+            **{k: np.asarray(v, np.float32) for k, v in self.curves.items()},
+        )
+        return path
+
+    def restore(self, workdir: str | None = None, step=None):
+        import os
+
+        import numpy as np
+
         workdir = workdir or self.workdir
         if step is None:
-            step = latest_step(workdir)
+            rolling = os.path.join(
+                os.path.abspath(workdir), "checkpoints", "step_latest"
+            )
+            step = "latest" if os.path.isdir(rolling) else latest_step(workdir)
         tree = restore_checkpoint(workdir, step, self._state_tree())
+        cpath = self._curves_path(workdir, step)
+        if os.path.exists(cpath):
+            with np.load(cpath) as curves:
+                self.curves = {k: list(curves[k]) for k in curves.files}
         for k in ("g_params", "g_stats", "d_params", "d_stats", "g_ema",
                   "opt_g", "opt_d", "te_params"):
             setattr(self, k, jax.device_put(tree[k], replicated(self.mesh)))

@@ -177,17 +177,56 @@ def main(argv=None) -> int:
 
     workdir = os.path.join("gan_weights", args.name)
     trainer = GANTrainer(tcfg, template=template, workdir=workdir)
+    if args.conditional_text and os.path.exists(args.text_pretrained_encoder):
+        from im23d_tpu.core.torch_convert import (
+            convert_text_encoder,
+            load_torch_checkpoint,
+        )
+
+        te_params, te_cfg = convert_text_encoder(
+            load_torch_checkpoint(args.text_pretrained_encoder)
+        )
+        trainer.set_text_encoder(te_params, **te_cfg)
+        print(f"loaded pretrained text encoder "
+              f"({te_cfg['vocab_size']} words) from "
+              f"{args.text_pretrained_encoder}")
     if args.continue_train or args.evaluate:
         if args.which_epoch not in ("latest", "best"):
             trainer.restore(step=int(args.which_epoch))
         elif args.which_epoch == "latest" or not args.evaluate:
             trainer.restore()
 
+    import numpy as np
+
+    def sample_conditioning(n, seed=0):
+        """Random dataset indices -> (classes, poses, caption tokens), the
+        reference's export conditioning (``main.py:847-852`` draws classes
+        and render poses from the dataset)."""
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, len(ds), size=n)
+        classes = (
+            np.stack([np.atleast_1d(ds.classes[i]) for i in idx])
+            if args.conditional_class else None
+        )
+        poses = dict(
+            scale=np.asarray(ds.data["scale"])[idx],
+            translation=np.asarray(ds.data["translation"])[idx],
+            rotation=np.asarray(ds.data["rotation"])[idx],
+        )
+        captions = (
+            ds.caption_tokens[idx, 0]
+            if getattr(ds, "caption_tokens", None) is not None else None
+        )
+        return classes, poses, captions
+
     if args.save_results:
         out = os.path.join("results", args.name)
+        classes, poses, captions = sample_conditioning(args.batch_size)
         files = export_results(
             trainer, template, out, n_samples=args.batch_size,
-            truncation_sigma=args.truncation_sigma,
+            truncation_sigma=args.truncation_sigma, classes=classes,
+            poses=poses, caption_tokens=captions,
+            render_res=min(args.texture_resolution, 512),
         )
         print(f"exported {len(files)} samples to {out}")
         return 0
@@ -236,19 +275,96 @@ def main(argv=None) -> int:
             print(f"fid/{key}: {fid:.3f}")
         return 0
 
-    logger = MetricsLogger(workdir, "gan")
-    for epoch in range(trainer.epoch, args.epochs):
-        trainer.epoch = epoch
-        t0 = time.time()
-        for batch in gan_batch_iterator(ds, args.batch_size, seed=epoch):
-            losses = trainer.train_step(batch)
-            if trainer.total_it % 10 == 0:
-                logger.log(trainer.total_it,
-                           {k: float(v) for k, v in losses.items()})
-        print(f"epoch {epoch}: {time.time() - t0:.1f}s")
-        trainer.epoch = epoch + 1
-        if (epoch + 1) % args.save_freq == 0 or (epoch + 1) % args.checkpoint_freq == 0:
-            trainer.save()
+    logger = MetricsLogger(workdir, "gan", tensorboard=args.tensorboard)
+
+    # in-training FID every --evaluate_freq epochs (reference main.py:776-777)
+    # requires the precomputed real stats; degrade to grids-only without them
+    cache_dir = args.cache_dir or os.path.join("cache", args.dataset)
+    stats_path = os.path.join(cache_dir, "precomputed_fid_299x299_train.npz")
+    evaluator = None
+    fid_real = None
+    if os.path.exists(stats_path):
+        evaluator = FIDEvaluator(trainer, template)
+        m_real, s_real, _, _ = load_precomputed_stats(stats_path)
+        fid_real = (m_real, s_real)
+    else:
+        logger.log_text(
+            f"no FID stats at {stats_path}; in-training eval logs image "
+            "grids only"
+        )
+
+    # fixed conditioning for the periodic sample grids, so the grid shows
+    # the same classes/poses every eval (reference logs grids each FID pass,
+    # main.py:378-410)
+    viz_n = min(args.batch_size, 16)
+    viz_classes, viz_poses, viz_captions = sample_conditioning(viz_n, seed=1234)
+
+    def evaluate_during_training(epoch):
+        if evaluator is not None:
+            acts = evaluator.activations_for_batches(
+                eval_batches(), args.truncation_sigma, variants=True
+            )
+            fids = {
+                f"fid/{key}": evaluator.fid_against_stats(act, *fid_real)
+                for key, act in acts.items()
+            }
+            logger.log(trainer.total_it, fids)
+            logger.log_text(
+                f"epoch {epoch} " +
+                " ".join(f"{k} {v:.3f}" for k, v in fids.items())
+            )
+        import jax
+        import jax.numpy as jnp
+
+        from im23d_tpu.train.gan_eval import render_generated
+
+        z = trainer.truncation_sample(
+            jax.random.PRNGKey(1234), viz_n, args.truncation_sigma
+        )
+        c = jnp.asarray(viz_classes, jnp.int32) if viz_classes is not None else None
+        tex, mesh_map = trainer.generate(z, c, caption_tokens=viz_captions)
+        img, alpha = render_generated(
+            template, 256, mesh_map, tex,
+            jnp.asarray(viz_poses["scale"], jnp.float32).reshape(-1),
+            jnp.asarray(viz_poses["translation"], jnp.float32),
+            jnp.asarray(viz_poses["rotation"], jnp.float32),
+        )
+        grid = np.where(np.asarray(alpha) > 0, np.asarray(img), 1.0)
+        logger.log_images(trainer.total_it, "samples/render", grid)
+        logger.log_images(
+            trainer.total_it, "samples/texture", np.asarray(tex) / 2.0 + 0.5
+        )
+
+    try:
+        for epoch in range(trainer.epoch, args.epochs):
+            trainer.epoch = epoch
+            t0 = time.time()
+            # host fetches of loss scalars stall the device pipeline, so
+            # sample them: first iteration each epoch + every 10th after
+            for it_in_epoch, batch in enumerate(
+                gan_batch_iterator(ds, args.batch_size, seed=epoch)
+            ):
+                losses = trainer.train_step(batch)
+                if it_in_epoch % 10 == 0:
+                    scalars = {k: float(v) for k, v in losses.items()}
+                    logger.log(trainer.total_it, scalars)
+                    trainer.record_curves(scalars)
+            logger.log_text(f"epoch {epoch}: {time.time() - t0:.1f}s")
+            trainer.epoch = epoch + 1
+            # two-tier checkpointing (reference main.py:749-775): rolling
+            # 'latest' every save_freq, permanent numbered every
+            # checkpoint_freq
+            if (epoch + 1) % args.checkpoint_freq == 0:
+                trainer.save()
+            elif (epoch + 1) % args.save_freq == 0:
+                trainer.save(tag="latest")
+            if (epoch + 1) % args.evaluate_freq == 0:
+                evaluate_during_training(epoch)
+    except KeyboardInterrupt:
+        # final checkpoint on interrupt (reference main.py:779-783)
+        logger.log_text("KeyboardInterrupt: saving final checkpoint")
+        trainer.save(tag="latest")
+        return 130
     trainer.save()
     return 0
 

@@ -17,13 +17,15 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from im23d_tpu.cli.flags import str2bool
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--name", type=str, required=True)
     p.add_argument("--dataset", type=str, required=True, help="(p3d|cub)")
     p.add_argument("--mesh_path", type=str, default="autodetect")
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--image_resolution", type=int, default=256)
-    p.add_argument("--symmetric", type=bool, default=True)
+    p.add_argument("--symmetric", type=str2bool, default=True)
     p.add_argument("--texture_resolution", type=int, default=128)
     p.add_argument("--mesh_resolution", type=int, default=32)
     p.add_argument("--loss", type=str, default="mse", help="(mse|l1)")
@@ -32,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--no_augmentation", action="store_true")
-    p.add_argument("--optimize_deltas", type=bool, default=True)
+    p.add_argument("--optimize_deltas", type=str2bool, default=True)
     p.add_argument("--optimize_z0", action="store_true")
     p.add_argument("--generate_pseudogt", action="store_true")
     p.add_argument("--pseudogt_resolution", type=int, default=512)
@@ -152,32 +154,52 @@ def main(argv=None) -> int:
         print({k: round(v, 5) for k, v in means.items()})
         return 0
 
-    logger = MetricsLogger(workdir, "recon")
-    for epoch in range(trainer.epoch, args.epochs):
-        trainer.epoch = epoch
-        t0 = time.time()
-        for batch in batch_iterator(train_ds, args.batch_size, seed=epoch,
-                                    keys=train_keys):
-            losses = trainer.train_step(batch)
-            if trainer.total_it % 10 == 0:
+    logger = MetricsLogger(workdir, "recon", tensorboard=args.tensorboard)
+
+    # fixed visualization batch: the same sample is rendered every
+    # image_freq epochs (not whatever batch the epoch iterator ended on)
+    viz_batch = next(
+        iter(batch_iterator(train_ds, args.batch_size, shuffle=False,
+                            keys=train_keys))
+    )
+
+    try:
+        for epoch in range(trainer.epoch, args.epochs):
+            trainer.epoch = epoch
+            t0 = time.time()
+            for it_in_epoch, batch in enumerate(
+                batch_iterator(train_ds, args.batch_size, seed=epoch,
+                               keys=train_keys)
+            ):
+                losses = trainer.train_step(batch)
+                if it_in_epoch % 10 == 0:
+                    logger.log(trainer.total_it,
+                               {k: float(v) for k, v in losses.items()})
+            logger.log_text(f"epoch {epoch}: {time.time() - t0:.1f}s")
+            trainer.epoch = epoch + 1
+            # two-tier checkpointing (reference --save_freq rolling /
+            # --checkpoint_freq permanent, run_reconstruction.py:472-486)
+            if (epoch + 1) % args.checkpoint_freq == 0:
+                trainer.save()
+            elif (epoch + 1) % args.save_freq == 0:
+                trainer.save(tag="latest")
+            if (epoch + 1) % args.evaluate_freq == 0 and val_ds is not None:
+                means = trainer.evaluate(val_batches())
                 logger.log(trainer.total_it,
-                           {k: float(v) for k, v in losses.items()})
-        print(f"epoch {epoch}: {time.time() - t0:.1f}s")
-        trainer.epoch = epoch + 1
-        if (epoch + 1) % args.save_freq == 0:
-            trainer.save()
-        if (epoch + 1) % args.evaluate_freq == 0 and val_ds is not None:
-            means = trainer.evaluate(val_batches())
-            logger.log(trainer.total_it,
-                       {f"val/{k}": v for k, v in means.items()})
-        if args.tensorboard and (epoch + 1) % args.image_freq == 0:
-            # multi-view render grid of the first sample (reference logs
-            # these every --image_freq epochs, run_reconstruction.py:487-491)
-            tex, mesh_map = trainer.predict(batch["image"])
-            raw_vtx = trainer.template.get_vertex_positions(mesh_map)
-            grid = trainer.render_multiview(raw_vtx, tex, idx=0)
-            logger.log_images(trainer.total_it, "render_multiview",
-                              grid[None], nrow=1)
+                           {f"val/{k}": v for k, v in means.items()})
+            if (epoch + 1) % args.image_freq == 0:
+                # multi-view render grid of a fixed sample (reference logs
+                # these every --image_freq epochs, run_reconstruction.py:487-491)
+                tex, mesh_map = trainer.predict(viz_batch["image"])
+                raw_vtx = trainer.template.get_vertex_positions(mesh_map)
+                grid = trainer.render_multiview(raw_vtx, tex, idx=0)
+                logger.log_images(trainer.total_it, "render_multiview",
+                                  grid[None], nrow=1)
+    except KeyboardInterrupt:
+        # final checkpoint on interrupt (reference run_reconstruction.py:492-496)
+        logger.log_text("KeyboardInterrupt: saving final checkpoint")
+        trainer.save(tag="latest")
+        return 130
     trainer.save()
     return 0
 

@@ -79,8 +79,15 @@ def main(argv=None) -> int:
         print({k: round(v, 5) for k, v in means.items()})
         return 0
 
-    losses = learner.fit(train_iter, num_steps=cfg.total_steps,
-                         valid_batches=valid_batches)
+    try:
+        losses = learner.fit(train_iter, num_steps=cfg.total_steps,
+                             valid_batches=valid_batches)
+    except KeyboardInterrupt:
+        # final checkpoint on interrupt (the reference drivers save on
+        # KeyboardInterrupt, main.py:779-783 / run_reconstruction.py:492-496)
+        print("KeyboardInterrupt: saving final checkpoint")
+        learner.save(tag="latest")
+        return 130
     learner.save()
     print({k: round(v, 5) for k, v in losses.items()})
     return 0

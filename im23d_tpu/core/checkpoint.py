@@ -40,6 +40,28 @@ def latest_step(workdir: str) -> int | None:
     return max(steps) if steps else None
 
 
+def resolve_step(workdir: str, step=None):
+    """Step to restore: pass-through when given, else the NEWEST of the
+    rolling ``step_latest`` tier and the numbered checkpoints (by mtime —
+    either tier can be the most recent under the reference's two-frequency
+    save scheme, ``main.py:770-775``).  None when nothing exists."""
+    if step is not None:
+        return step
+    root = os.path.join(os.path.abspath(workdir), "checkpoints")
+    candidates = []
+    numbered = latest_step(workdir)
+    if numbered is not None:
+        candidates.append(numbered)
+    if os.path.isdir(os.path.join(root, "step_latest")):
+        candidates.append("latest")
+    if not candidates:
+        return None
+    return max(
+        candidates,
+        key=lambda s: os.path.getmtime(os.path.join(root, f"step_{s}")),
+    )
+
+
 def restore_checkpoint(workdir: str, step: int, target: Any) -> Any:
     """Restore into the structure of ``target`` (an abstract or concrete tree)."""
     path = _ckpt_dir(workdir, step)

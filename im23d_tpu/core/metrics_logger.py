@@ -16,7 +16,8 @@ from typing import Mapping
 
 
 class MetricsLogger:
-    def __init__(self, workdir: str, name: str = "train"):
+    def __init__(self, workdir: str, name: str = "train",
+                 tensorboard: bool = True):
         self.dir = os.path.abspath(workdir)
         os.makedirs(self.dir, exist_ok=True)
         self._fh = open(os.path.join(self.dir, f"metrics_{name}.jsonl"), "a", buffering=1)
@@ -27,12 +28,13 @@ class MetricsLogger:
         self._txt = open(os.path.join(self.dir, "log.txt"), "a", buffering=1)
         print(" ".join(sys.argv), file=self._txt)
         self._tb = None
-        try:  # optional TensorBoard mirror
-            from torch.utils.tensorboard import SummaryWriter
+        if tensorboard:
+            try:  # optional TensorBoard mirror
+                from torch.utils.tensorboard import SummaryWriter
 
-            self._tb = SummaryWriter(log_dir=os.path.join(self.dir, "tb", name))
-        except Exception:
-            self._tb = None
+                self._tb = SummaryWriter(log_dir=os.path.join(self.dir, "tb", name))
+            except Exception:
+                self._tb = None
 
     def log_text(self, text: str) -> None:
         """Mirror a line to log.txt and stdout (reference ``log()``)."""

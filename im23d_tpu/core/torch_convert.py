@@ -174,6 +174,52 @@ def convert_generator(sd: Mapping, has_mesh_head: bool = True) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_text_encoder(sd: Mapping):
+    """AttnGAN ``RNN_Encoder`` state dict -> (flax params, config kwargs).
+
+    The reference loads ``cache/cub/text_encoder200.pth`` into an AttnGAN
+    bidirectional-LSTM text encoder (``code/main.py:539,560-568``; the class
+    itself is missing from the repo — SURVEY.md §2.1 bug list).  Expected
+    keys: ``encoder.weight`` (vocab, ninput) and torch-LSTM
+    ``rnn.{weight,bias}_{ih,hh}_l0[_reverse]``.
+
+    Returns ``(params, cfg)`` where cfg has the inferred ``vocab_size`` /
+    ``embedding_dim`` / ``hidden_dim`` for ``models.text_encoder.TextEncoder``
+    (construct with exactly these or apply() will shape-error).
+
+    Gate mapping: torch packs (4H, in) rows in i,f,g,o order; flax
+    OptimizedLSTMCell splits them into per-gate dense kernels ``i{i,f,g,o}``
+    (input, no bias) and ``h{i,f,g,o}`` (hidden, carries the combined
+    ``b_ih + b_hh`` bias).
+    """
+    emb = np.asarray(sd["encoder.weight"], np.float32)
+    vocab_size, embedding_dim = emb.shape
+    hidden_dim = np.asarray(sd["rnn.weight_hh_l0"]).shape[1]
+
+    params: dict = {"embed": {"embedding": emb}}
+
+    def lstm(cell_name: str, suffix: str) -> None:
+        w_ih = np.asarray(sd[f"rnn.weight_ih_l0{suffix}"], np.float32)
+        w_hh = np.asarray(sd[f"rnn.weight_hh_l0{suffix}"], np.float32)
+        bias = (
+            np.asarray(sd[f"rnn.bias_ih_l0{suffix}"], np.float32)
+            + np.asarray(sd[f"rnn.bias_hh_l0{suffix}"], np.float32)
+        )
+        cell: dict = {}
+        H = hidden_dim
+        for g, gate in enumerate("ifgo"):
+            rows = slice(g * H, (g + 1) * H)
+            cell[f"i{gate}"] = {"kernel": w_ih[rows].T}
+            cell[f"h{gate}"] = {"kernel": w_hh[rows].T, "bias": bias[rows]}
+        params[cell_name] = cell
+
+    lstm("OptimizedLSTMCell_0", "")  # forward direction
+    lstm("OptimizedLSTMCell_1", "_reverse")
+    cfg = dict(vocab_size=vocab_size, embedding_dim=embedding_dim,
+               hidden_dim=hidden_dim)
+    return params, cfg
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch .pth file (CPU, weights only) -> plain dict of numpy."""
     import torch

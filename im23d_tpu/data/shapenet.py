@@ -108,6 +108,88 @@ def multi_view_collate(samples, rng: np.random.RandomState):
     )
 
 
+# -- ground-truth point clouds (Chamfer / 3D-IoU eval) -----------------------
+#
+# The reference never computes Chamfer (its ShapeNet eval is projection-MSE
+# only, ``code/models/unsupervised_part.py:110-111``); the paper reports it,
+# so BASELINE requires a GT-cloud source.  Two layouts are accepted per model
+# dir: a committed points file, or any OBJ mesh (ShapeNetCore layout), which
+# is area-weighted surface sampled host-side.
+
+GT_POINT_FILES = ("points.npy", "gt_points.npy", "pcl.npy", "points.npz")
+GT_MESH_FILES = (
+    "model.obj",
+    "model_normalized.obj",
+    os.path.join("models", "model_normalized.obj"),
+)
+
+
+def sample_mesh_points(vertices: np.ndarray, faces: np.ndarray, n_points: int,
+                       rng: np.random.RandomState) -> np.ndarray:
+    """Uniform surface sampling: triangles drawn by area, then uniform
+    barycentric coordinates (host-side numpy; runs once per model at eval)."""
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    total = areas.sum()
+    if not np.isfinite(total) or total <= 0:
+        probs = np.full(len(areas), 1.0 / len(areas))
+    else:
+        probs = areas / total
+    tri = rng.choice(len(faces), size=n_points, p=probs)
+    r1 = np.sqrt(rng.rand(n_points, 1))
+    r2 = rng.rand(n_points, 1)
+    return ((1 - r1) * v0[tri] + r1 * (1 - r2) * v1[tri]
+            + r1 * r2 * v2[tri]).astype(np.float32)
+
+
+def normalize_cloud(points: np.ndarray) -> np.ndarray:
+    """Shared eval frame: zero-mean, max radius 0.5 (the decoder's tanh/2
+    output range), so predicted and GT clouds are directly comparable."""
+    points = np.asarray(points, np.float32)
+    center = points.mean(axis=-2, keepdims=True)
+    points = points - center
+    radius = np.max(np.linalg.norm(points, axis=-1), axis=-1, keepdims=True)
+    return points / np.maximum(radius[..., None], 1e-8) * 0.5
+
+
+def load_gt_points(model_dir, n_points: int = 2048,
+                   rng: np.random.RandomState | None = None):
+    """GT cloud (n_points, 3) for a model dir, or None when the dir has
+    neither a points file nor a mesh.  Clouds are resampled to exactly
+    ``n_points`` and normalized via :func:`normalize_cloud`."""
+    model_dir = Path(model_dir)
+    rng = rng if rng is not None else np.random.RandomState(0)
+    pts = None
+    for name in GT_POINT_FILES:
+        path = model_dir / name
+        if path.exists():
+            raw = np.load(path)
+            if hasattr(raw, "files"):  # npz
+                raw = raw[raw.files[0]]
+            pts = np.asarray(raw, np.float32).reshape(-1, 3)
+            break
+    if pts is None:
+        for name in GT_MESH_FILES:
+            path = model_dir / name
+            if path.exists():
+                from im23d_tpu.geometry.objio import load_obj
+
+                mesh = load_obj(str(path))
+                pts = sample_mesh_points(
+                    np.asarray(mesh.vertices, np.float32),
+                    np.asarray(mesh.faces), n_points, rng,
+                )
+                break
+    if pts is None:
+        return None
+    if len(pts) != n_points:
+        idx = rng.choice(len(pts), n_points, replace=len(pts) < n_points)
+        pts = pts[idx]
+    return normalize_cloud(pts)
+
+
 class _PrefetchIterator:
     """Background-thread batch producer (replaces torch DataLoader workers)."""
 

@@ -51,10 +51,24 @@ class MeshTemplate:
         if mesh is None:
             mesh = uv_sphere(segments=segments, rings=rings)
         elif isinstance(mesh, str):
-            path = mesh
-            if "31rings" in path or "32rings" in path:
-                rings = 31 if "31rings" in path else 32
-            mesh = load_obj(path)
+            mesh = load_obj(mesh)
+        if isinstance(mesh, Mesh) and mesh.uvs is not None and len(mesh.uvs):
+            # Infer ring/segment counts from the mesh itself (the topo map
+            # below divides by them): a UV sphere's v chart has rings+1
+            # distinct latitudes (u is unusable — pole fans add half-offset
+            # u values), and (rings-1)*segments + 2 vertices.  Trusting
+            # filename hints silently mis-binned 16/17-ring reference
+            # templates.
+            vs = np.unique(np.round(np.asarray(mesh.uvs)[:, 1], 5))
+            inf_rings = len(vs) - 1
+            n_body = len(mesh.vertices) - 2
+            if inf_rings > 1 and n_body % (inf_rings - 1) == 0:
+                segments, rings = n_body // (inf_rings - 1), inf_rings
+            else:
+                raise ValueError(
+                    f"mesh is not a UV sphere: {inf_rings + 1} uv latitudes "
+                    f"inconsistent with {len(mesh.vertices)} vertices"
+                )
         self.mesh = mesh
         self.is_symmetric = is_symmetric
         self.segments = segments

@@ -5,7 +5,9 @@ scatter/gather (``code/main.py:530-548``), per-GPU batch padding
 (``main.py:256-281``), and the 740-LoC ``sync_batchnorm`` thread/queue
 rendezvous (``code/sync_batchnorm/``) — with jax.sharding annotations.  XLA
 inserts the gradient all-reduce over ICI; cross-replica batch-norm moments
-are a ``pmean`` (see ``im23d_tpu.models.norm``).
+are global automatically because ``nn.BatchNorm`` reduces over the sharded
+batch axis inside the jitted step (proven in
+``tests/test_cross_replica_norm.py``).
 
 On a single chip the same code runs with a 1-device mesh; multi-host DCN
 scaling is ``jax.distributed`` + the same annotations.
@@ -43,19 +45,43 @@ def init_multihost(coordinator_address: str | None = None,
     Feed each process its local shard of the global batch
     (``jax.make_array_from_process_local_data`` composes with
     ``batch_sharded``).
+
+    Multi-host intent is decided WITHOUT touching the jax backend (querying
+    ``jax.process_count()`` first would initialize it single-host and make
+    ``distributed.initialize`` fail): explicit arguments, or the standard
+    coordination env vars, or Cloud TPU pod metadata when
+    ``IM23D_MULTIHOST=1`` opts in to auto-detection.
     """
-    if jax.process_count() == 1 and coordinator_address is not None:
+    import os
+
+    explicit = coordinator_address is not None or num_processes is not None
+    env_configured = bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    auto_optin = os.environ.get("IM23D_MULTIHOST", "") == "1"
+    if explicit or env_configured:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif jax.process_count() == 1 and num_processes is None:
-        try:
-            jax.distributed.initialize()  # TPU pod auto-detection
-        except Exception:
-            pass  # single-host run: fall through to the local mesh
+    elif auto_optin:
+        jax.distributed.initialize()  # TPU pod metadata auto-detection
     return make_mesh()
+
+
+def make_data_mesh(batch_size: int, devices=None,
+                   axis_name: str = DATA_AXIS) -> Mesh:
+    """Data-parallel mesh over the most devices that evenly divide
+    ``batch_size`` (the reference pads batches to a GPU multiple instead,
+    ``main.py:256-281``; static shapes make divisibility the TPU answer)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while batch_size % n:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -28,11 +28,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from im23d_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from im23d_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
 from im23d_tpu.geometry.mesh_template import MeshTemplate
 from im23d_tpu.losses.gan_losses import flatness_loss, gan_loss
 from im23d_tpu.models.gan import GANConfig, Generator, MultiScaleDiscriminator
 from im23d_tpu.parallel.mesh import (
+    make_data_mesh,
     batch_sharded,
     make_mesh,
     replicated,
@@ -101,7 +102,7 @@ class GANTrainer:
         self.cfg = config
         self.mcfg = config.model
         self.workdir = workdir
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_data_mesh(config.batch_size)
         self.template = template
         self.use_mesh = not self.mcfg.texture_only
         if self.use_mesh and template is None:
@@ -408,6 +409,25 @@ class GANTrainer:
         self.total_it += 1
         return losses
 
+    def set_text_encoder(self, params, vocab_size: int, embedding_dim: int,
+                         hidden_dim: int) -> None:
+        """Swap in converted pretrained text-encoder weights (reference
+        ``main.py:560-568`` loads text_encoder200.pth frozen).  Must run
+        before the first train/inference step; the word-feature width
+        2*hidden_dim has to match the conditioning dim G/D were built with."""
+        from im23d_tpu.models.text_encoder import TextEncoder
+
+        assert self.mcfg.conditional_text, "model is not text-conditional"
+        assert 2 * hidden_dim == self.mcfg.text_embedding_dim, (
+            f"pretrained encoder emits {2 * hidden_dim}-dim word features "
+            f"but the GAN was configured for {self.mcfg.text_embedding_dim}"
+        )
+        self.text_encoder = TextEncoder(
+            vocab_size=vocab_size, embedding_dim=embedding_dim,
+            hidden_dim=hidden_dim,
+        )
+        self.te_params = jax.device_put(params, replicated(self.mesh))
+
     def generate(self, z, c=None, caption_tokens=None):
         """EMA-generator inference (reference 'inference' mode)."""
         caption = None
@@ -471,12 +491,10 @@ class GANTrainer:
 
         import numpy as np
 
+        from im23d_tpu.core.checkpoint import resolve_step
+
         workdir = workdir or self.workdir
-        if step is None:
-            rolling = os.path.join(
-                os.path.abspath(workdir), "checkpoints", "step_latest"
-            )
-            step = "latest" if os.path.isdir(rolling) else latest_step(workdir)
+        step = resolve_step(workdir, step)
         tree = restore_checkpoint(workdir, step, self._state_tree())
         cpath = self._curves_path(workdir, step)
         if os.path.exists(cpath):

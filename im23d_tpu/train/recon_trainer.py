@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from im23d_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from im23d_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
 from im23d_tpu.geometry.mesh_template import MeshTemplate
 from im23d_tpu.losses.gan_losses import flatness_loss
 from im23d_tpu.metrics.iou import mean_iou
@@ -36,6 +36,7 @@ from im23d_tpu.models.reconstruction import DatasetParams, ReconstructionNetwork
 from im23d_tpu.ops.quaternion import qrot
 from im23d_tpu.ops.sampling import resize_bilinear
 from im23d_tpu.parallel.mesh import (
+    make_data_mesh,
     batch_sharded,
     make_mesh,
     replicated,
@@ -88,7 +89,7 @@ class ReconTrainer:
                  workdir: str | None = None):
         self.cfg = config
         self.workdir = workdir
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_data_mesh(config.batch_size)
         self.template = template if template is not None else MeshTemplate()
         self.dataset_size = dataset_size
 
@@ -342,14 +343,18 @@ class ReconTrainer:
             epoch=self.epoch, total_it=self.total_it,
         )
 
-    def save(self, workdir: str | None = None) -> str:
-        return save_checkpoint(workdir or self.workdir, self.total_it,
+    def save(self, workdir: str | None = None, tag=None) -> str:
+        """tag=None -> permanent numbered checkpoint; tag='latest' -> rolling
+        overwrite (reference two-tier save scheme, run_reconstruction.py)."""
+        step = self.total_it if tag is None else tag
+        return save_checkpoint(workdir or self.workdir, step,
                                self._state_tree())
 
     def restore(self, workdir: str | None = None, step: int | None = None):
+        from im23d_tpu.core.checkpoint import resolve_step
+
         workdir = workdir or self.workdir
-        if step is None:
-            step = latest_step(workdir)
+        step = resolve_step(workdir, step)
         tree = restore_checkpoint(workdir, step, self._state_tree())
         repl = replicated(self.mesh)
         for k in ("params", "batch_stats", "opt", "dp_params", "opt_dp"):

@@ -25,12 +25,13 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from im23d_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from im23d_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
 from im23d_tpu.core.metrics_logger import MetricsLogger
 from im23d_tpu.losses.effective import unsupervised_loss
 from im23d_tpu.models.pointcloud_nets import UnsupervisedPart
 from im23d_tpu.ops.pointcloud import keep_mask
 from im23d_tpu.parallel.mesh import (
+    make_data_mesh,
     batch_sharded,
     make_mesh,
     replicated,
@@ -95,7 +96,7 @@ class ShapeNetLearner:
         self.cfg = config
         self.workdir = workdir
         self.param_shardings = param_shardings
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_data_mesh(config.batch_size)
         self.model = UnsupervisedPart(
             num_points=config.num_points,
             num_candidates=config.num_candidates,
@@ -226,19 +227,23 @@ class ShapeNetLearner:
         batch = shard_batch_pytree(batch, self.mesh)
         return self._eval_step(self.state, batch)
 
-    def save(self, workdir: str | None = None) -> str:
+    def save(self, workdir: str | None = None, tag=None) -> str:
+        """tag=None -> permanent numbered checkpoint; tag='latest' -> rolling
+        overwrite (two-tier save scheme)."""
         workdir = workdir or self.workdir
         tree = dict(
             params=self.state.params,
             opt_state=self.state.opt_state,
             step=int(self.state.step),
         )
-        return save_checkpoint(workdir, int(self.state.step), tree)
+        step = int(self.state.step) if tag is None else tag
+        return save_checkpoint(workdir, step, tree)
 
     def restore(self, workdir: str | None = None, step: int | None = None):
+        from im23d_tpu.core.checkpoint import resolve_step
+
         workdir = workdir or self.workdir
-        if step is None:
-            step = latest_step(workdir)
+        step = resolve_step(workdir, step)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {workdir}")
         target = dict(

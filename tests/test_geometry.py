@@ -129,3 +129,25 @@ def test_get_vertex_positions_parity_with_reference_math():
     expected = (torch.tensor(t.mesh.vertices).unsqueeze(0) + deltas_full).numpy()
 
     np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+def test_template_from_obj_infers_ring_segment_counts(tmp_path):
+    # A 17-ring/24-segment sphere OBJ (no filename hint): the template must
+    # infer the counts from the mesh, not default to 32x16
+    m = uv_sphere(24, 17)
+    save_obj(str(tmp_path / "custom_sphere"), m, m.vertices)
+    t = MeshTemplate(str(tmp_path / "custom_sphere.obj"))
+    assert (t.segments, t.rings) == (24, 17)
+    ref = MeshTemplate(segments=24, rings=17)
+    np.testing.assert_allclose(t.topo_map, ref.topo_map, atol=1e-4)
+
+
+def test_template_rejects_non_sphere_obj(tmp_path):
+    import pytest
+
+    (tmp_path / "tri.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvt 1 0\nvt 0 1\n"
+        "f 1/1 2/2 3/3\n"
+    )
+    with pytest.raises(ValueError, match="not a UV sphere"):
+        MeshTemplate(str(tmp_path / "tri.obj"))

@@ -122,6 +122,7 @@ def test_batch_iterator(tmp_path):
     assert batches[0]["rotation"].shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_pseudogt_roundtrip_with_generator(tmp_path):
     """Integration: generate_pseudogt output loads through PseudoGTDataset."""
     import jax

@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from im23d_tpu.losses.gan_losses import flatness_loss, gan_loss
@@ -34,6 +35,7 @@ def test_positional_encoding_matches_reference():
         np.testing.assert_allclose(ours, expected, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_generator_shapes_and_symmetry():
     cfg = TINY
     gen = Generator(cfg, mesh_head=True)
@@ -119,6 +121,7 @@ def test_flatness_loss_zero_for_sphere_consistency():
     assert 0 < loss_sphere < 50.0
 
 
+@pytest.mark.slow
 def test_mixed_precision_matches_f32():
     """bfloat16 compute path: same param tree, f32 outputs, close values.
 

@@ -28,6 +28,7 @@ def fake_batch(n=2, res=128, mesh_res=32, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_gan_alternation_and_losses(trainer):
     batch = fake_batch()
     l0 = trainer.train_step(batch)  # it 0 -> G step
@@ -81,6 +82,7 @@ def test_gan_checkpoint_roundtrip(trainer, tmp_path):
     np.testing.assert_array_equal(p0, p1)
 
 
+@pytest.mark.slow
 def test_gan_text_conditional_steps():
     from im23d_tpu.models.gan import GANConfig
     from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer

@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from im23d_tpu.metrics.chamfer import chamfer_distance, nn_dist2_pallas, nn_dist2_xla
@@ -99,6 +100,7 @@ def test_frechet_matches_scipy_reference():
     np.testing.assert_allclose(frechet_distance(m1, s1, m2, s2), expected, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_inception_features_shape_and_determinism():
     from im23d_tpu.metrics.inception import init_inception
 

@@ -57,6 +57,7 @@ def test_model_output_shapes():
     assert np.abs(np.asarray(out["point_cloud"])).max() <= 0.5
 
 
+@pytest.mark.slow
 def test_unsupervised_loss_train_and_eval():
     cfg = tiny_config()
     model = UnsupervisedPart(
@@ -95,6 +96,7 @@ def test_unsupervised_loss_train_and_eval():
     )
 
 
+@pytest.mark.slow
 def test_learner_loss_decreases_on_fixed_batch():
     cfg = tiny_config(learning_rate=2e-4)
     learner = ShapeNetLearner(cfg, mesh=make_mesh(jax.devices()[:1]))
@@ -106,6 +108,7 @@ def test_learner_loss_decreases_on_fixed_batch():
     assert int(learner.state.step) == 9
 
 
+@pytest.mark.slow
 def test_learner_multidevice_matches_shapes():
     # 8 virtual CPU devices: batch 8 sharded over the mesh.
     assert jax.device_count() >= 8
@@ -117,6 +120,7 @@ def test_learner_multidevice_matches_shapes():
     assert np.isfinite(float(losses["total_loss"]))
 
 
+@pytest.mark.slow
 def test_single_vs_multidevice_parity():
     # Same params, same batch, same rng: dp-sharded grads == single device.
     cfg = tiny_config(batch_size=8)
@@ -134,6 +138,7 @@ def test_single_vs_multidevice_parity():
     )
 
 
+@pytest.mark.slow
 def test_2d_mesh_dp_tp_parity():
     """dp x tp 2-D mesh (the __graft_entry__ layout): loss AND post-update
     params match single-device training, proving the tensor-parallel
@@ -189,6 +194,7 @@ def test_2d_mesh_dp_tp_parity():
         )
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     learner = ShapeNetLearner(cfg, workdir=str(tmp_path), mesh=make_mesh(jax.devices()[:1]))
@@ -210,6 +216,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(out["total_loss"]))
 
 
+@pytest.mark.slow
 def test_fit_loop_with_synthetic_data(tmp_path):
     cfg = tiny_config(total_steps=5, log_every=2)
     learner = ShapeNetLearner(cfg, workdir=str(tmp_path), mesh=make_mesh(jax.devices()[:1]))

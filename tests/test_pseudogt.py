@@ -2,6 +2,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from im23d_tpu.geometry.mesh_template import MeshTemplate
@@ -31,6 +32,7 @@ def test_inverse_render_projects_photo_to_uv():
     assert inv_tex.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_generate_pseudogt_writes_reference_format(tmp_path):
     cfg = ReconConfig(image_resolution=64, texture_resolution=64, batch_size=2)
     trainer = ReconTrainer(

@@ -9,6 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# interpret-mode Pallas kernels are slow on CPU; the fast
+# default subset covers them via tests/test_kernels_smoke.py
+pytestmark = pytest.mark.slow
+
 from im23d_tpu.geometry.objio import uv_sphere
 from im23d_tpu.render.rasterizer import rasterize
 from im23d_tpu.render.rasterizer_pallas import rasterize_tiled

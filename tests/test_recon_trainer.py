@@ -76,6 +76,7 @@ def recon_batch(n=2, res=64, seed=0, ds=10):
     )
 
 
+@pytest.mark.slow
 def test_recon_train_step_and_losses(trainer):
     losses = trainer.train_step(recon_batch())
     for key in ("recon_loss", "flat_loss", "iou"):

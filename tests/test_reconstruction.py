@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from im23d_tpu.models.reconstruction import (
@@ -38,6 +39,7 @@ def test_reconstruction_network_shapes():
     np.testing.assert_allclose(np.asarray(mesh_map), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_reconstruction_network_higher_res():
     model = ReconstructionNetwork(symmetric=True, texture_res=128)
     x = jnp.zeros((1, 256, 256, 4))

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# interpret-mode Pallas kernels are slow on CPU; the fast
+# default subset covers them via tests/test_kernels_smoke.py
+pytestmark = pytest.mark.slow
+
 from im23d_tpu.ops.sampling import grid_sample_bilinear
 from im23d_tpu.ops.sampling_pallas import fits_pallas, grid_sample_bilinear_pallas
 

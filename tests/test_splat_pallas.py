@@ -1,5 +1,10 @@
 """Pallas splat kernel vs the XLA reference implementation (interpret mode on CPU)."""
 
+import pytest
+
+# interpret-mode Pallas kernels are slow on CPU; the fast
+# default subset covers them via tests/test_kernels_smoke.py
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,7 +137,6 @@ def test_fused_splat_blur_matches_unfused():
                                atol=1e-3, rtol=1e-4)
 
 
-import pytest
 
 
 @pytest.mark.parametrize("sorted_blocks", [False, True])

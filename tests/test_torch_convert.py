@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from im23d_tpu.core.torch_convert import convert_generator, convert_reconstruction
@@ -60,6 +61,7 @@ def _tree_shapes(t):
     return jax.tree_util.tree_map(lambda x: jnp.shape(x), t)
 
 
+@pytest.mark.slow
 def test_convert_reconstruction_matches_init_tree():
     rng = np.random.RandomState(0)
     sd = make_recon_state_dict(rng)
@@ -151,6 +153,7 @@ def make_generator_state_dict(rng, tex_res=128, n_classes=5, latent=64):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_generator_matches_init_tree():
     rng = np.random.RandomState(2)
     sd = make_generator_state_dict(rng)

@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text_embedding_dim", type=int, default=256)
     p.add_argument("--inception_weights", type=str, default=None,
                    help="path to a torchvision inception state dict (npz/pth)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for a multi-host TPU "
+                        "pod (or set IM23D_MULTIHOST=1); the mesh then "
+                        "spans every chip in the slice and --batch_size "
+                        "is per-process")
     return p
 
 
@@ -176,7 +181,13 @@ def main(argv=None) -> int:
     )
 
     workdir = os.path.join("gan_weights", args.name)
-    trainer = GANTrainer(tcfg, template=template, workdir=workdir)
+    mesh = None
+    if args.multihost or os.environ.get("IM23D_MULTIHOST") == "1":
+        from im23d_tpu.parallel.mesh import init_multihost
+
+        mesh = init_multihost()
+    trainer = GANTrainer(tcfg, template=template, workdir=workdir,
+                         mesh=mesh)
     if args.conditional_text and os.path.exists(args.text_pretrained_encoder):
         from im23d_tpu.core.torch_convert import (
             convert_text_encoder,

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epochs between TensorBoard image grids")
     p.add_argument("--num_workers", type=int, default=4,
                    help="data-loading threads")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for a multi-host TPU "
+                        "pod (or set IM23D_MULTIHOST=1); the mesh then "
+                        "spans every chip in the slice and --batch_size "
+                        "is per-process")
     return p
 
 
@@ -112,8 +117,13 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
     )
     workdir = os.path.join("checkpoints_recon", args.name)
+    mesh = None
+    if args.multihost or os.environ.get("IM23D_MULTIHOST") == "1":
+        from im23d_tpu.parallel.mesh import init_multihost
+
+        mesh = init_multihost()
     trainer = ReconTrainer(cfg, dataset_size=len(train_ds), template=template,
-                           workdir=workdir)
+                           workdir=workdir, mesh=mesh)
     if args.evaluate or args.generate_pseudogt or args.continue_train:
         trainer.restore()
 

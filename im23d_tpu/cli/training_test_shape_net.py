@@ -15,6 +15,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -32,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", type=str, default=None,
                    help="workdir to restore the latest checkpoint from")
     p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for a multi-host TPU "
+                        "pod (or set IM23D_MULTIHOST=1); the mesh then "
+                        "spans every chip in the slice and --batch_size "
+                        "is per-process")
     return p
 
 
@@ -54,7 +60,12 @@ def main(argv=None) -> int:
     if overrides:
         cfg = ShapeNetConfig(**{**cfg.__dict__, **overrides})
 
-    learner = ShapeNetLearner(cfg, workdir=args.workdir)
+    mesh = None
+    if args.multihost or os.environ.get("IM23D_MULTIHOST") == "1":
+        from im23d_tpu.parallel.mesh import init_multihost
+
+        mesh = init_multihost()
+    learner = ShapeNetLearner(cfg, workdir=args.workdir, mesh=mesh)
     if args.restore:
         learner.restore(args.restore)
 

@@ -94,8 +94,20 @@ def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch_pytree(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put every leaf of a host batch with its batch axis sharded."""
+    """Device-put every leaf of a host batch with its batch axis sharded.
+
+    Multi-host: each process passes its LOCAL batch shard and the leaves are
+    assembled into global arrays (global batch = local x process_count along
+    axis 0); single-host keeps the plain device_put fast path.
+    """
     sharding = batch_sharded(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -90,6 +90,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_inception_variables(path):
+    """--inception_weights: torchvision inception_v3 state dict (.pth via
+    torch, or .npz of the same tensors) -> flax variables, for FID numbers
+    comparable to the reference's torchvision-pretrained scores."""
+    if not path:
+        return None
+    import numpy as np
+
+    from im23d_tpu.metrics.inception import load_torch_state_dict
+
+    if path.endswith(".npz"):
+        sd = dict(np.load(path, allow_pickle=True))
+    else:
+        from im23d_tpu.core.torch_convert import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+    return load_torch_state_dict(sd)
+
+
 def load_dataset(args):
     from im23d_tpu.data.pseudogt import CubGANDataset, Pascal3DGANDataset
 
@@ -251,7 +270,10 @@ def main(argv=None) -> int:
         cache_dir = args.cache_dir or os.path.join("cache", args.dataset)
         stats_path = os.path.join(cache_dir, "precomputed_fid_299x299_train.npz")
         m_real, s_real, _, _ = load_precomputed_stats(stats_path)
-        evaluator = FIDEvaluator(trainer, template)
+        evaluator = FIDEvaluator(
+            trainer, template,
+            inception_variables=load_inception_variables(args.inception_weights),
+        )
 
         def fid_now():
             acts = evaluator.activations_for_batches(
@@ -295,7 +317,10 @@ def main(argv=None) -> int:
     evaluator = None
     fid_real = None
     if os.path.exists(stats_path):
-        evaluator = FIDEvaluator(trainer, template)
+        evaluator = FIDEvaluator(
+            trainer, template,
+            inception_variables=load_inception_variables(args.inception_weights),
+        )
         m_real, s_real, _, _ = load_precomputed_stats(stats_path)
         fid_real = (m_real, s_real)
     else:

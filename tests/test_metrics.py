@@ -120,3 +120,36 @@ def test_fid_from_activations_sanity():
     near = fid_from_activations(a, a[:100])
     far = fid_from_activations(a, b + 10)
     assert near < far
+
+
+def test_load_torch_state_dict_key_mapping():
+    from im23d_tpu.metrics.inception import load_torch_state_dict
+
+    sd = {
+        "Conv2d_1a_3x3.conv.weight": np.zeros((32, 3, 3, 3), np.float32),
+        "Conv2d_1a_3x3.bn.weight": np.ones(32, np.float32),
+        "Conv2d_1a_3x3.bn.bias": np.zeros(32, np.float32),
+        "Conv2d_1a_3x3.bn.running_mean": np.zeros(32, np.float32),
+        "Conv2d_1a_3x3.bn.running_var": np.ones(32, np.float32),
+        "fc.weight": np.zeros((1000, 2048), np.float32),  # ignored
+    }
+    v = load_torch_state_dict(sd)
+    conv = v["params"]["Conv2d_1a_3x3"]["conv"]["kernel"]
+    assert conv.shape == (3, 3, 3, 32)  # OIHW -> HWIO
+    assert v["params"]["Conv2d_1a_3x3"]["bn"]["scale"].shape == (32,)
+    assert v["batch_stats"]["Conv2d_1a_3x3"]["bn"]["mean"].shape == (32,)
+    assert "fc" not in v["params"]
+
+
+def test_cli_load_inception_variables_npz(tmp_path):
+    from im23d_tpu.cli.main import load_inception_variables
+
+    assert load_inception_variables(None) is None
+    path = tmp_path / "w.npz"
+    np.savez(path, **{
+        "Conv2d_1a_3x3.conv.weight": np.zeros((32, 3, 3, 3), np.float32),
+        "Conv2d_1a_3x3.bn.running_mean": np.zeros(32, np.float32),
+        "Conv2d_1a_3x3.bn.running_var": np.ones(32, np.float32),
+    })
+    v = load_inception_variables(str(path))
+    assert v["params"]["Conv2d_1a_3x3"]["conv"]["kernel"].shape == (3, 3, 3, 32)

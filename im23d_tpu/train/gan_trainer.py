@@ -495,6 +495,8 @@ class GANTrainer:
 
         workdir = workdir or self.workdir
         step = resolve_step(workdir, step)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {workdir}")
         tree = restore_checkpoint(workdir, step, self._state_tree())
         cpath = self._curves_path(workdir, step)
         if os.path.exists(cpath):

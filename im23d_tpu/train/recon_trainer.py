@@ -355,6 +355,8 @@ class ReconTrainer:
 
         workdir = workdir or self.workdir
         step = resolve_step(workdir, step)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {workdir}")
         tree = restore_checkpoint(workdir, step, self._state_tree())
         repl = replicated(self.mesh)
         for k in ("params", "batch_stats", "opt", "dp_params", "opt_dp"):

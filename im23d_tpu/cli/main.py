@@ -378,7 +378,8 @@ def main(argv=None) -> int:
             # host fetches of loss scalars stall the device pipeline, so
             # sample them: first iteration each epoch + every 10th after
             for it_in_epoch, batch in enumerate(
-                gan_batch_iterator(ds, args.batch_size, seed=epoch)
+                gan_batch_iterator(ds, args.batch_size, seed=epoch,
+                                   num_workers=args.num_workers)
             ):
                 losses = trainer.train_step(batch)
                 if it_in_epoch % 10 == 0:

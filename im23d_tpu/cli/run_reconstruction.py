@@ -136,7 +136,8 @@ def main(argv=None) -> int:
 
         def loader():
             for batch in batch_iterator(train_ds, args.batch_size,
-                                        shuffle=False, drop_last=False):
+                                        shuffle=False, drop_last=False,
+                                        num_workers=args.num_workers):
                 batch["hd_image"] = batch.pop(f"image_{renderer_res}") / 2.0 + 0.5
                 batch["inception_image"] = batch.pop("image_299")
                 yield batch
@@ -179,7 +180,7 @@ def main(argv=None) -> int:
             t0 = time.time()
             for it_in_epoch, batch in enumerate(
                 batch_iterator(train_ds, args.batch_size, seed=epoch,
-                               keys=train_keys)
+                               keys=train_keys, num_workers=args.num_workers)
             ):
                 losses = trainer.train_step(batch)
                 if it_in_epoch % 10 == 0:

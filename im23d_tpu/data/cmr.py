@@ -81,6 +81,11 @@ class CMRBaseDataset:
         self.padding_frac = 0.05
         self.is_train = is_train
         self._rng = np.random.RandomState(seed)
+        # forward_img runs on prefetch threads; RandomState is not
+        # thread-safe, so augmentation draws take this lock
+        import threading
+
+        self._rng_lock = threading.Lock()
 
     def get_paths(self) -> list[str]:
         return [
@@ -109,18 +114,18 @@ class CMRBaseDataset:
         bbox = np.array(
             [data.bbox.x1, data.bbox.y1, data.bbox.x2, data.bbox.y2], float
         ) - 1
-        bbox = peturb_bbox(
-            bbox, pf=self.padding_frac,
-            jf=self.jitter_frac if self.is_train else 0.0, rng=self._rng,
-        )
+        with self._rng_lock:
+            bbox = peturb_bbox(
+                bbox, pf=self.padding_frac,
+                jf=self.jitter_frac if self.is_train else 0.0, rng=self._rng,
+            )
+            mirrored = self.is_train and self._rng.randint(2) == 1
         bbox = square_bbox(bbox)
 
         img = crop(img, bbox, bgval=1)
         mask = crop(mask, bbox, bgval=0)
         sfm_pose[1][0] -= bbox[0]
         sfm_pose[1][1] -= bbox[1]
-
-        mirrored = self.is_train and self._rng.randint(2) == 1
 
         outputs = []
         for res in self.img_sizes:
@@ -225,17 +230,27 @@ class P3dDataset(CMRBaseDataset):
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
-                   keys: Sequence[str] | None = None) -> Iterator[dict]:
-    """One epoch of stacked-dict batches from an indexable dataset."""
+                   keys: Sequence[str] | None = None,
+                   num_workers: int = 4) -> Iterator[dict]:
+    """One epoch of stacked-dict batches from an indexable dataset.
+
+    ``num_workers`` threads decode items and assemble batches ahead of the
+    consumer (the reference drives CMR data through 4 DataLoader workers,
+    ``run_reconstruction.py``)."""
+    from im23d_tpu.data.prefetch import prefetched_batches
+
     rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
     end = len(order) - (len(order) % batch_size if drop_last else 0)
-    for start in range(0, end, batch_size):
-        idx = order[start : start + batch_size]
-        if len(idx) == 0:
-            continue
+    index_batches = [
+        order[start : start + batch_size]
+        for start in range(0, end, batch_size)
+        if len(order[start : start + batch_size]) > 0
+    ]
+
+    def build(idx):
         items = [dataset[int(i)] for i in idx]
         batch = {}
         for k in items[0]:
@@ -246,4 +261,6 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                 batch[k] = vals
             else:
                 batch[k] = np.stack(vals)
-        yield batch
+        return batch
+
+    yield from prefetched_batches(index_batches, build, num_workers)

@@ -43,6 +43,11 @@ class PseudoGTDataset:
         self.conditional_class = conditional_class
         self.conditional_text = conditional_text
         self._rng = np.random.RandomState(seed)
+        # __getitem__ runs on prefetch threads; RandomState is not
+        # thread-safe, so augmentation draws take this lock
+        import threading
+
+        self._rng_lock = threading.Lock()
 
         self.caption_tokens = None
         self.n_words = 0
@@ -128,12 +133,17 @@ class PseudoGTDataset:
     def __getitem__(self, idx: int) -> dict:
         item = self.load_pseudo_ground_truth(idx)
         del item["image"]
-        if self.augment and not self.evaluate and self._rng.randint(2) == 1:
+        with self._rng_lock:
+            mirror = self.augment and not self.evaluate and self._rng.randint(2) == 1
+            e = (
+                self._rng.randint(self.caption_tokens.shape[1])
+                if self.caption_tokens is not None else 0
+            )
+        if mirror:
             item = {k: mirror_tex_nhwc(v) for k, v in item.items()}
         if self.conditional_class:
             item["c"] = np.asarray(self.classes[idx], np.int32)
         if self.caption_tokens is not None:
-            e = self._rng.randint(self.caption_tokens.shape[1])
             item["caption"] = self.caption_tokens[idx, e]
         item["idx"] = np.int32(idx)
         return item
@@ -266,16 +276,27 @@ class EvalDataset:
 
 
 def gan_batch_iterator(dataset: PseudoGTDataset, batch_size: int,
-                       shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+                       shuffle: bool = True, seed: int = 0,
+                       num_workers: int = 4) -> Iterator[dict]:
     """Epoch iterator producing GANTrainer batches:
-    texture (B,H,W,3), alpha (B,H,W,1), mesh (B,h,w,3), optional c."""
+    texture (B,H,W,3), alpha (B,H,W,1), mesh (B,h,w,3), optional c.
+
+    ``num_workers`` threads decode the per-item npz caches and assemble
+    batches ahead of the consumer (the reference uses 4 DataLoader worker
+    processes, ``main.py:140-141``)."""
+    from im23d_tpu.data.prefetch import prefetched_batches
+
     rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
     end = len(order) - (len(order) % batch_size)
-    for start in range(0, end, batch_size):
-        items = [dataset[int(i)] for i in order[start : start + batch_size]]
+    index_batches = [
+        order[start : start + batch_size] for start in range(0, end, batch_size)
+    ]
+
+    def build(idx):
+        items = [dataset[int(i)] for i in idx]
         batch = dict(
             texture=np.stack([it["texture"] for it in items]),
             alpha=np.stack([it["texture_alpha"] for it in items]),
@@ -285,4 +306,6 @@ def gan_batch_iterator(dataset: PseudoGTDataset, batch_size: int,
             batch["c"] = np.stack([it["c"] for it in items])
         if "caption" in items[0]:
             batch["caption"] = np.stack([it["caption"] for it in items])
-        yield batch
+        return batch
+
+    yield from prefetched_batches(index_batches, build, num_workers)

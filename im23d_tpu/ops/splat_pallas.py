@@ -1155,24 +1155,37 @@ def _proj_sorted_bwd_kernel(blo_ref, bhi_ref, gz_ref, gy_ref, gx_ref, c_ref,
     ds_ref[0] = jnp.full(ds_ref.shape[1:], ds_val)
 
 
-def _sort_and_windows(gz, gy, gx, c, size: int, z_chunk: int):
+def _sort_and_windows(gz, gy, gx, c, size: int, z_chunk: int,
+                      with_perm: bool = True):
     """Sort points by gz (culled -> sentinel tail) + per-chunk block windows.
 
     Returns sorted (key, gy, gx, c), the permutation (for the backward
-    unsort), and int32 (B, S//ZC) block bounds.
+    unsort; ``None`` when ``with_perm`` is False — forward-only callers
+    save a fifth operand riding through every bitonic stage), and int32
+    (B, S//ZC) block bounds.
     """
     B, N = gz.shape
     key = jnp.where(c > 0, gz, jnp.float32(_Z_SENTINEL))
-    perm0 = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[None], (B, N)
-    )
-    key_s, gy_s, gx_s, c_s, perm = jax.lax.sort(
-        (key, gy, gx, c, perm0), dimension=-1, num_keys=1
-    )
+    if with_perm:
+        perm0 = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None], (B, N)
+        )
+        key_s, gy_s, gx_s, c_s, perm = jax.lax.sort(
+            (key, gy, gx, c, perm0), dimension=-1, num_keys=1
+        )
+    else:
+        perm = None
+        key_s, gy_s, gx_s, c_s = jax.lax.sort(
+            (key, gy, gx, c), dimension=-1, num_keys=1
+        )
     CH = size // z_chunk
     z0s = jnp.arange(CH, dtype=jnp.float32) * z_chunk
-    lo = jax.vmap(lambda a: jnp.searchsorted(a, z0s - 1.0))(key_s)
-    hi = jax.vmap(lambda a: jnp.searchsorted(a, z0s + z_chunk))(key_s)
+    # searchsorted(a, v, 'left') == #(a < v) on sorted rows; the direct
+    # compare-count vectorizes on the VPU where jnp.searchsorted lowers to
+    # a sequential while loop (~2 ms/step at chairs scale)
+    lo = jnp.sum(key_s[:, :, None] < (z0s - 1.0), axis=1, dtype=jnp.int32)
+    hi = jnp.sum(key_s[:, :, None] < (z0s + z_chunk), axis=1,
+                 dtype=jnp.int32)
     blo = (lo // _LANES).astype(jnp.int32)
     bhi = ((hi + _LANES - 1) // _LANES).astype(jnp.int32)
     return key_s, gy_s, gx_s, c_s, perm, blo, bhi

@@ -23,6 +23,8 @@ from im23d_tpu.ops.quaternion import quaternion_angle_loss
 from im23d_tpu.ops.sampling import resize_bilinear
 from im23d_tpu.ops.splat_pallas import (
     projection_silhouette_pallas,
+    projection_silhouette_products,
+    projection_silhouette_reuse,
     trilinear_splat_pallas,
 )
 from im23d_tpu.ops.voxel import (
@@ -33,11 +35,34 @@ from im23d_tpu.ops.voxel import (
 )
 
 
+_FORCE_PALLAS_PROJECTION = False  # tests: exercise the fused path off-TPU
+# (interpret mode)
+
+
+def _use_pallas_projection() -> bool:
+    return _FORCE_PALLAS_PROJECTION or jax.default_backend() == "tpu"
+
+
 def _splat(points, size, weights):
     """Pallas MXU kernel on TPU, XLA scatter reference elsewhere."""
     if jax.default_backend() == "tpu":
         return trilinear_splat_pallas(points, size, weights=weights)
     return trilinear_splat(points, size, weights=weights)
+
+
+def _candidate_cam(point_cloud, rotations, scale, weights):
+    """Camera-space points + repeated weights/scale for C candidate poses."""
+    B, N, _ = point_cloud.shape
+    C = rotations.shape[1]
+    cam = world_to_camera(point_cloud[:, None], rotations)  # (B, C, N, 3)
+    cam = cam.reshape(B * C, N, 3)
+    w = None
+    if weights is not None:
+        w = jnp.repeat(weights, C, axis=0)  # (B*C, N), b-major like reshape
+    sc = None
+    if scale is not None:
+        sc = jnp.repeat(scale.reshape(B), C, axis=0)
+    return cam, w, sc
 
 
 def project_candidates(
@@ -62,22 +87,15 @@ def project_candidates(
     C = rotations.shape[1]
     S = voxel_size
 
-    cam = world_to_camera(point_cloud[:, None], rotations)  # (B, C, N, 3)
-    cam = cam.reshape(B * C, N, 3)
+    cam, w, sc = _candidate_cam(point_cloud, rotations, scale, weights)
 
-    w = None
-    if weights is not None:
-        w = jnp.repeat(weights, C, axis=0)  # (B*C, N), b-major like reshape
-
-    sc = None
-    if scale is not None:
-        sc = jnp.repeat(scale.reshape(B), C, axis=0)
-
-    if scale is not None and jax.default_backend() == "tpu":
+    if scale is not None and _use_pallas_projection():
         # whole projection as one Pallas kernel: the S^3 grid exists only in
-        # VMEM; HBM sees point rows in, (S, S) silhouettes out
+        # VMEM; HBM sees point rows in, (S, S) silhouettes out.  The dropout
+        # keep weights are constants, so their cotangent is never needed.
         sil = projection_silhouette_pallas(
-            cam, S, sigma, sc, weights=w, kernel_size=kernel_size
+            cam, S, sigma, sc, weights=w, kernel_size=kernel_size,
+            need_weight_grad=False,
         )
     else:
         vox = _splat(cam, S, w)
@@ -146,20 +164,35 @@ def unsupervised_loss(
 
     # The min-over-candidates only backpropagates through the argmin
     # candidate, so the K-way projection runs under stop_gradient (forward
-    # only, no residuals) and the selected candidate is re-projected
-    # differentiably — identical values and gradients, 1/K the backward
-    # work (K*V = 20x fewer clouds in the grad path than the reference's
-    # repeat-everything formulation).
+    # only, no residuals) and only the selected candidate is differentiated
+    # — identical values and gradients, 1/K the backward work (K*V = 20x
+    # fewer clouds in the grad path than the reference's repeat-everything
+    # formulation).  On the Pallas path the winners' forward silhouettes and
+    # sorted point rows are reused straight from the candidate sweep
+    # (projection_silhouette_reuse), so "re-projection" costs only the
+    # backward kernel on B*V rows — no second forward, no second sort.
     quats = ensemble_q.reshape(B, V * K, 4)
-    sil = project_candidates(
-        jax.lax.stop_gradient(cloud),
-        jax.lax.stop_gradient(quats),
-        sigma,
-        scale=jax.lax.stop_gradient(scale),
-        weights=keep_weights,
-        voxel_size=S,
-    )  # (B, V*K, S, S)
-    sil = sil.reshape(B * V, K, S, S)
+    use_reuse = scale is not None and _use_pallas_projection()
+    if use_reuse:
+        cam, w, sc = _candidate_cam(
+            jax.lax.stop_gradient(cloud),
+            jax.lax.stop_gradient(quats),
+            jax.lax.stop_gradient(scale),
+            keep_weights,
+        )
+        sil_flat, prods = projection_silhouette_products(
+            cam, S, sigma, sc, weights=w
+        )  # (B*V*K, S, S)
+        sil = sil_flat.reshape(B * V, K, S, S)
+    else:
+        sil = project_candidates(
+            jax.lax.stop_gradient(cloud),
+            jax.lax.stop_gradient(quats),
+            sigma,
+            scale=jax.lax.stop_gradient(scale),
+            weights=keep_weights,
+            voxel_size=S,
+        ).reshape(B * V, K, S, S)
 
     per_candidate = jnp.sum(
         (sil - masks_s[:, None]) ** 2, axis=(2, 3)
@@ -172,10 +205,21 @@ def unsupervised_loss(
     cloud_v = jnp.repeat(cloud, V, axis=0)          # (B*V, N, 3)
     scale_v = jnp.repeat(scale.reshape(B), V, axis=0)
     w_v = None if keep_weights is None else jnp.repeat(keep_weights, V, axis=0)
-    sil_sel = project_candidates(
-        cloud_v, best_q[:, None], sigma, scale=scale_v, weights=w_v,
-        voxel_size=S,
-    )[:, 0]  # (B*V, S, S)
+    if use_reuse:
+        rows = jnp.arange(B * V, dtype=min_idx.dtype) * K + min_idx
+        prods_sel = tuple(a[rows] for a in prods)
+        sil_sel_val = jax.lax.stop_gradient(sil_flat[rows])
+        cam_sel, w_sel, sc_sel = _candidate_cam(
+            cloud_v, best_q[:, None], scale_v, w_v
+        )
+        sil_sel = projection_silhouette_reuse(
+            cam_sel, S, sigma, sc_sel, sil_sel_val, prods_sel, weights=w_sel
+        )  # (B*V, S, S)
+    else:
+        sil_sel = project_candidates(
+            cloud_v, best_q[:, None], sigma, scale=scale_v, weights=w_v,
+            voxel_size=S,
+        )[:, 0]  # (B*V, S, S)
     min_loss = jnp.sum((sil_sel - masks_s) ** 2, axis=(1, 2))
     projection_loss = jnp.sum(min_loss) / (B * V)
 

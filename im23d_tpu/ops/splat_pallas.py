@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -831,30 +832,12 @@ def _proj_grid_bwd(size: int, dot_bf16: bool, eps: float, residuals, g):
 _proj_grid.defvjp(_proj_grid_fwd, _proj_grid_bwd)
 
 
-def projection_silhouette_pallas(
-    points: jnp.ndarray,
-    size: int,
-    sigma: jnp.ndarray,
-    scale: jnp.ndarray,
-    weights: jnp.ndarray | None = None,
-    kernel_size: int = 21,
-    border_eps: float = 1e-6,
-    eps: float = 1e-5,
-    dot_bf16: bool = True,
-    sorted_blocks: bool = True,
-) -> jnp.ndarray:
-    """Whole rendering-free projection as one Pallas kernel: (B, S, S)
-    silhouettes from (B, N, 3) camera-space points.
+def _prep_projection(points, size: int, weights, border_eps: float):
+    """Shared projection preprocessing: voxel-grid coords + splat weights.
 
-    Equivalent to ``project_silhouette(termination_probs(gaussian_blur_3d(
-    trilinear_splat(points, S, weights), sigma, scale=scale)))`` with the S^3
-    grid living only in VMEM.  Same contracts as ``splat_blur_pallas``
-    (symmetric kernel; sigma non-differentiable; scale differentiable).
-    ``sorted_blocks`` selects the z-sorted block-windowed splat (~10x fewer
-    contraction FLOPs; see the section comment below) over the dense one.
+    Returns lane-padded (gz, gy, gx, c); culled / zero-weight points get
+    zeroed coordinates so their hat windows stay benign.
     """
-    from im23d_tpu.ops.voxel import _band_matrix, gaussian_kernel_1d
-
     B, N, _ = points.shape
     S = int(size)
 
@@ -874,15 +857,51 @@ def projection_silhouette_pallas(
 
     gz, gy, gx = grid[..., 0], grid[..., 1], grid[..., 2]
     safe = (c > 0).astype(grid.dtype)
-    gz, gy, gx = gz * safe, gy * safe, gx * safe
+    return gz * safe, gy * safe, gx * safe, c
 
-    band = jax.lax.stop_gradient(
-        _band_matrix(gaussian_kernel_1d(sigma, kernel_size), S)
+
+def _projection_band(sigma, size: int, kernel_size: int):
+    from im23d_tpu.ops.voxel import _band_matrix, gaussian_kernel_1d
+
+    return jax.lax.stop_gradient(
+        _band_matrix(gaussian_kernel_1d(sigma, kernel_size), size)
     )
+
+
+def projection_silhouette_pallas(
+    points: jnp.ndarray,
+    size: int,
+    sigma: jnp.ndarray,
+    scale: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    kernel_size: int = 21,
+    border_eps: float = 1e-6,
+    eps: float = 1e-5,
+    dot_bf16: bool = True,
+    sorted_blocks: bool = True,
+    need_weight_grad: bool = True,
+) -> jnp.ndarray:
+    """Whole rendering-free projection as one Pallas kernel: (B, S, S)
+    silhouettes from (B, N, 3) camera-space points.
+
+    Equivalent to ``project_silhouette(termination_probs(gaussian_blur_3d(
+    trilinear_splat(points, S, weights), sigma, scale=scale)))`` with the S^3
+    grid living only in VMEM.  Same contracts as ``splat_blur_pallas``
+    (symmetric kernel; sigma non-differentiable; scale differentiable).
+    ``sorted_blocks`` selects the z-sorted block-windowed splat (~10x fewer
+    contraction FLOPs; see the section comment below) over the dense one.
+    ``need_weight_grad=False`` declares ``weights`` a non-differentiable
+    constant (e.g. a dropout mask): the sorted path then skips carrying its
+    cotangent through the backward unsort and returns zeros for it.
+    """
+    B = points.shape[0]
+    S = int(size)
+    gz, gy, gx, c = _prep_projection(points, S, weights, border_eps)
+    band = _projection_band(sigma, S, kernel_size)
     scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
     if sorted_blocks:
         return _proj_sorted_grid(gz, gy, gx, c, band, scale, S, dot_bf16,
-                                 float(eps))
+                                 float(eps), bool(need_weight_grad))
     return _proj_grid(gz, gy, gx, c, band, scale, S, dot_bf16, float(eps))
 
 
@@ -1236,20 +1255,22 @@ def _proj_sorted_call(kernel_fn, n_outs, key_s, gy_s, gx_s, c_s, band,
     )(*operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _proj_sorted_grid(gz, gy, gx, c, band, scale, size: int, dot_bf16: bool,
-                      eps: float):
+                      eps: float, need_dc: bool = True):
+    # primal-only path (e.g. the stop-gradient candidate sweep): no backward
+    # unsort ever happens, so skip sorting the permutation payload
     out, _ = _proj_sorted_fwd(gz, gy, gx, c, band, scale, size, dot_bf16,
-                              eps)
+                              eps, with_perm=False)
     return out
 
 
 def _proj_sorted_fwd(gz, gy, gx, c, band, scale, size: int, dot_bf16: bool,
-                     eps: float):
+                     eps: float, with_perm: bool = True):
     B, N = gz.shape
     S = size
     key_s, gy_s, gx_s, c_s, perm, blo, bhi = _sort_and_windows(
-        gz, gy, gx, c, S, _sorted_z_chunk(S)
+        gz, gy, gx, c, S, _sorted_z_chunk(S), with_perm=with_perm
     )
     vec_spec = pl.BlockSpec((1, S, S), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1263,7 +1284,8 @@ def _proj_sorted_fwd(gz, gy, gx, c, band, scale, size: int, dot_bf16: bool,
     return out, residuals
 
 
-def _proj_sorted_bwd(size: int, dot_bf16: bool, eps: float, residuals, g):
+def _proj_sorted_bwd(size: int, dot_bf16: bool, eps: float, need_dc: bool,
+                     residuals, g):
     key_s, gy_s, gx_s, c_s, perm, blo, bhi, band, scale = residuals
     B, N = key_s.shape
     S = size
@@ -1275,17 +1297,135 @@ def _proj_sorted_bwd(size: int, dot_bf16: bool, eps: float, residuals, g):
         _proj_sorted_bwd_kernel, 5, key_s, gy_s, gx_s, c_s, band, scale,
         blo, bhi, g[:, ::-1], S, dot_bf16, eps, outs, 3,
     )
-    # unsort: sorting by the forward permutation restores original order
-    _, dgz, dgy, dgx, dc = jax.lax.sort(
-        (perm, dgz_s.reshape(B, N), dgy_s.reshape(B, N),
-         dgx_s.reshape(B, N), dc_s.reshape(B, N)),
-        dimension=-1, num_keys=1,
-    )
+    # unsort: sorting by the forward permutation restores original order.
+    # When the caller's weights are non-differentiable constants (dropout
+    # masks), dc is dead downstream — skip carrying it through the unsort.
+    if need_dc:
+        _, dgz, dgy, dgx, dc = jax.lax.sort(
+            (perm, dgz_s.reshape(B, N), dgy_s.reshape(B, N),
+             dgx_s.reshape(B, N), dc_s.reshape(B, N)),
+            dimension=-1, num_keys=1,
+        )
+    else:
+        _, dgz, dgy, dgx = jax.lax.sort(
+            (perm, dgz_s.reshape(B, N), dgy_s.reshape(B, N),
+             dgx_s.reshape(B, N)),
+            dimension=-1, num_keys=1,
+        )
+        dc = jnp.zeros((B, N), jnp.float32)
     return (dgz, dgy, dgx, dc, jnp.zeros_like(band), ds[:, 0, 0])
 
 
-def _proj_sorted_fwd_rule(gz, gy, gx, c, band, scale, size, dot_bf16, eps):
+def _proj_sorted_fwd_rule(gz, gy, gx, c, band, scale, size, dot_bf16, eps,
+                          need_dc):
     return _proj_sorted_fwd(gz, gy, gx, c, band, scale, size, dot_bf16, eps)
 
 
 _proj_sorted_grid.defvjp(_proj_sorted_fwd_rule, _proj_sorted_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Winner reuse: the ensemble min-loss projects every pose candidate forward
+# (stop-gradient) and then re-projects only the argmin winners
+# differentiably.  The winners' forward outputs and sorted rows already
+# exist in the candidate sweep, so the "re-projection" needs no forward
+# kernel and no fresh sort: `projection_silhouette_products` exposes the
+# sweep's sorted rows/windows, and `projection_silhouette_reuse` re-attaches
+# gradients to gathered winner rows — forward is the (already computed)
+# silhouette, backward is the usual recompute-in-VMEM kernel on those rows.
+# ---------------------------------------------------------------------------
+
+
+def projection_silhouette_products(
+    points: jnp.ndarray,
+    size: int,
+    sigma: jnp.ndarray,
+    scale: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    kernel_size: int = 21,
+    border_eps: float = 1e-6,
+    eps: float = 1e-5,
+    dot_bf16: bool = True,
+):
+    """Primal-only projection that also returns its sorted rows + windows.
+
+    Same silhouettes as ``projection_silhouette_pallas`` (sorted path), plus
+    ``products = (key_s, gy_s, gx_s, c_s, perm, blo, bhi)`` — per-row sorted
+    coordinates/weights, the sort permutation, and the per-chunk block
+    windows.  Rows of ``products`` can be gathered and handed to
+    ``projection_silhouette_reuse``.  Callers should pass stop-gradient
+    inputs (this function defines no VJP of its own).
+    """
+    B = points.shape[0]
+    S = int(size)
+    gz, gy, gx, c = _prep_projection(points, S, weights, border_eps)
+    band = _projection_band(sigma, S, kernel_size)
+    scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
+    out, residuals = _proj_sorted_fwd(gz, gy, gx, c, band, scale, S,
+                                      dot_bf16, float(eps), with_perm=True)
+    key_s, gy_s, gx_s, c_s, perm, blo, bhi, _, _ = residuals
+    return out, (key_s, gy_s, gx_s, c_s, perm, blo, bhi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _proj_sorted_reuse(gz, gy, gx, c, band, scale, sil, products,
+                       size: int, dot_bf16: bool, eps: float):
+    return sil
+
+
+def _proj_sorted_reuse_fwd(gz, gy, gx, c, band, scale, sil, products,
+                           size, dot_bf16, eps):
+    key_s, gy_s, gx_s, c_s, perm, blo, bhi = products
+    residuals = (key_s, gy_s, gx_s, c_s, perm, blo, bhi, band, scale)
+    return sil, residuals
+
+
+def _zero_cotangent(a):
+    # integer primals (perm / block windows) take float0 cotangents
+    if jnp.issubdtype(a.dtype, jnp.integer) or a.dtype == jnp.bool_:
+        return np.zeros(a.shape, jax.dtypes.float0)
+    return jnp.zeros_like(a)
+
+
+def _proj_sorted_reuse_bwd(size, dot_bf16, eps, residuals, g):
+    dgz, dgy, dgx, dc, dband, ds = _proj_sorted_bwd(
+        size, dot_bf16, eps, False, residuals, g
+    )
+    dproducts = tuple(_zero_cotangent(a) for a in residuals[:7])
+    return (dgz, dgy, dgx, dc, dband, ds, g, dproducts)
+
+
+_proj_sorted_reuse.defvjp(_proj_sorted_reuse_fwd, _proj_sorted_reuse_bwd)
+
+
+def projection_silhouette_reuse(
+    points: jnp.ndarray,
+    size: int,
+    sigma: jnp.ndarray,
+    scale: jnp.ndarray,
+    sil: jnp.ndarray,
+    products,
+    weights: jnp.ndarray | None = None,
+    kernel_size: int = 21,
+    border_eps: float = 1e-6,
+    eps: float = 1e-5,
+    dot_bf16: bool = True,
+) -> jnp.ndarray:
+    """Differentiable winner projection without a forward kernel.
+
+    ``sil``/``products`` are (gathered rows of) a
+    ``projection_silhouette_products`` sweep whose inputs were numerically
+    identical to ``points``/``scale``/``weights`` here — the forward value
+    IS ``sil``; the VJP runs the windowed backward kernel on the presorted
+    rows and unsorts the cotangents onto ``points``.  ``weights`` is
+    treated as a non-differentiable constant (dropout-mask semantics).
+    XLA dead-code-eliminates the unused forward recomputation of the
+    camera/grid chain, so only its backward ops survive.
+    """
+    B = points.shape[0]
+    S = int(size)
+    gz, gy, gx, c = _prep_projection(points, S, weights, border_eps)
+    band = _projection_band(sigma, S, kernel_size)
+    scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
+    return _proj_sorted_reuse(gz, gy, gx, c, band, scale, sil, products,
+                              S, dot_bf16, float(eps))

@@ -187,3 +187,111 @@ def test_fused_projection_matches_unfused(sorted_blocks):
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gs_r), np.asarray(gs_f),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_winner_reuse_matches_fresh_projection():
+    """projection_silhouette_reuse == a fresh differentiable projection.
+
+    The winner-reuse path (losses/effective.py) gathers rows of a
+    projection_silhouette_products sweep and re-attaches gradients via
+    projection_silhouette_reuse; values and cotangents must match running
+    projection_silhouette_pallas on the same rows exactly (identical
+    kernels on identical sorted inputs).
+    """
+    from im23d_tpu.ops.splat_pallas import (
+        projection_silhouette_pallas,
+        projection_silhouette_products,
+        projection_silhouette_reuse,
+    )
+
+    rng = np.random.RandomState(7)
+    B, N, S = 4, 192, 16
+    pts = jnp.array(_rand_points(rng, B, N, spread=1.1))  # some OOB points
+    w = jnp.array((rng.rand(B, N) > 0.3).astype(np.float32))
+    scale = jnp.array(rng.rand(B).astype(np.float32) * 0.5 + 0.5)
+    sigma = jnp.float32(0.6)
+    rows = jnp.array([2, 0, 3])
+
+    sil, prods = projection_silhouette_products(
+        pts, S, sigma, scale, weights=w, kernel_size=9
+    )
+    pts_r, w_r, scale_r = pts[rows], w[rows], scale[rows]
+
+    # forward parity: the sweep rows equal a fresh projection of those rows
+    fresh = projection_silhouette_pallas(
+        pts_r, S, sigma, scale_r, weights=w_r, kernel_size=9,
+        need_weight_grad=False,
+    )
+    np.testing.assert_allclose(np.asarray(sil[rows]), np.asarray(fresh),
+                               atol=1e-6)
+
+    cot = jnp.array(rng.rand(len(rows), S, S).astype(np.float32))
+
+    def f_reuse(p, s):
+        out = projection_silhouette_reuse(
+            p, S, sigma, s, jax.lax.stop_gradient(sil[rows]),
+            tuple(jax.lax.stop_gradient(a[rows]) for a in prods),
+            weights=w_r, kernel_size=9,
+        )
+        return jnp.sum(out * cot)
+
+    def f_fresh(p, s):
+        out = projection_silhouette_pallas(
+            p, S, sigma, s, weights=w_r, kernel_size=9,
+            need_weight_grad=False,
+        )
+        return jnp.sum(out * cot)
+
+    (vr, (gr_p, gr_s)) = jax.value_and_grad(f_reuse, argnums=(0, 1))(
+        pts_r, scale_r
+    )
+    (vf, (gf_p, gf_s)) = jax.value_and_grad(f_fresh, argnums=(0, 1))(
+        pts_r, scale_r
+    )
+    np.testing.assert_allclose(float(vr), float(vf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr_p), np.asarray(gf_p), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr_s), np.asarray(gf_s), atol=1e-6)
+
+
+def test_unsupervised_loss_pallas_path_matches_xla():
+    """The full ensemble-min loss on the forced-Pallas (winner reuse) path
+    agrees with the XLA reference path in values and gradients."""
+    import im23d_tpu.losses.effective as eff
+
+    rng = np.random.RandomState(3)
+    B, V, K, N, S = 2, 2, 2, 96, 16
+    q = rng.randn(B * V, K, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    sq = rng.randn(B * V, 4).astype(np.float32)
+    sq /= np.linalg.norm(sq, axis=-1, keepdims=True)
+    outputs = dict(
+        point_cloud=jnp.array(_rand_points(rng, B, N, spread=0.6)),
+        scale=jnp.array(rng.rand(B, 1).astype(np.float32) * 0.5 + 0.5),
+        ensemble_q=jnp.array(q),
+        student_q=jnp.array(sq),
+    )
+    masks = jnp.array((rng.rand(B * V, S, S) > 0.6).astype(np.float32))
+    kw = jnp.array((rng.rand(B, N) > 0.2).astype(np.float32))
+
+    def total(outputs):
+        losses, _ = eff.unsupervised_loss(
+            outputs, masks, jnp.float32(0.8), kw, V, voxel_size=S,
+            training=True,
+        )
+        return losses["total_loss"]
+
+    assert not eff._FORCE_PALLAS_PROJECTION
+    l_ref, g_ref = jax.value_and_grad(total)(outputs)
+    eff._FORCE_PALLAS_PROJECTION = True
+    try:
+        l_pal, g_pal = jax.value_and_grad(total)(outputs)
+    finally:
+        eff._FORCE_PALLAS_PROJECTION = False
+
+    # bf16 MXU dots on the Pallas path -> loose tolerances
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=2e-2)
+    for key in ("point_cloud", "scale", "ensemble_q"):
+        np.testing.assert_allclose(
+            np.asarray(g_pal[key]), np.asarray(g_ref[key]),
+            atol=2e-2 * max(1.0, float(jnp.abs(g_ref[key]).max())),
+        )

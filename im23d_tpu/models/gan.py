@@ -82,25 +82,30 @@ def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return nn.avg_pool(x, (k, k), strides=(k, k))
 
 
-def avg_pool_alpha(alpha: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Box-pool a (B, H, W, 1) map as two H/W matmuls.
+def avg_pool_box(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Box-pool a (B, H, W, C) map as two H/W box-matrix contractions.
 
-    reduce_window on a single-channel tensor forces a C-minor relayout of
-    the full-res map (~12 ms per 512^2 critic call on v5e); contracting the
-    already-tiled H/W axes against a (H/k, H) box matrix instead runs on
-    the MXU with no layout change.  Exactly nn.avg_pool for divisible k.
+    reduce_window forces a C-minor relayout of the full-res map (~5.7 ms
+    for the 512^2 4-channel mesh-critic input, ~12 ms for a single-channel
+    alpha on v5e); contracting the already-tiled H/W axes against a
+    (H/k, H) box matrix instead runs on the MXU with no layout change.
+    Exactly nn.avg_pool for divisible k.
     """
-    B, H, W, _ = alpha.shape
-    a = alpha[..., 0]
+    B, H, W, C = x.shape
     eye_h = (
-        jnp.repeat(jnp.eye(H // k, dtype=a.dtype), k, axis=1) / k
+        jnp.repeat(jnp.eye(H // k, dtype=x.dtype), k, axis=1) / k
     )  # (H/k, H)
-    eye_w = jnp.repeat(jnp.eye(W // k, dtype=a.dtype), k, axis=1) / k
+    eye_w = jnp.repeat(jnp.eye(W // k, dtype=x.dtype), k, axis=1) / k
     out = jnp.einsum(
-        "ph,bhw,qw->bpq", eye_h, a, eye_w,
+        "ph,bhwc,qw->bpqc", eye_h, x, eye_w,
         preferred_element_type=jnp.float32,
-    ).astype(a.dtype)
-    return out[..., None]
+    )
+    return out.astype(x.dtype)
+
+
+def avg_pool_alpha(alpha: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Box-pool a (B, H, W, 1) alpha map (see ``avg_pool_box``)."""
+    return avg_pool_box(alpha, k)
 
 
 def _sn(layer: nn.Module) -> nn.Module:
@@ -313,7 +318,7 @@ class TextureDiscriminator(nn.Module):
                  alpha=None):
         cfg = self.cfg
         if self.downsample > 1:
-            x = avg_pool(x, self.downsample)
+            x = avg_pool_box(x, self.downsample)
         stride_first = (
             (self.downsample == 1 and cfg.texture_resolution >= 512)
             or cfg.texture_resolution >= 1024
@@ -329,7 +334,7 @@ class TextureDiscriminator(nn.Module):
             # tiled critic input (or reduce_window on the C=1 map) costs a
             # full-res layout copy (~12 ms/d-step).
             if alpha is None:
-                pooled = avg_pool(x[..., 3:4], ds_factor)
+                pooled = avg_pool_box(x[..., 3:4], ds_factor)
             else:
                 pooled = avg_pool_alpha(alpha, self.downsample * ds_factor)
             mask = jax.lax.stop_gradient(pooled.astype(jnp.float32))
@@ -390,7 +395,7 @@ class MeshDiscriminator(nn.Module):
                  train: bool = True, alpha=None):
         cfg = self.cfg
         pool_to_mesh = texture.shape[1] // mesh_map.shape[1]
-        x = avg_pool(texture, pool_to_mesh)
+        x = avg_pool_box(texture, pool_to_mesh)
         x = jnp.concatenate([x, mesh_map.astype(x.dtype)], axis=-1)
         mask = None
         if cfg.mask_output:
@@ -398,7 +403,7 @@ class MeshDiscriminator(nn.Module):
             # pool-then-upcast order as the texture D (and the same
             # slice-free matmul alpha path — avg pools compose)
             if alpha is None:
-                pooled = avg_pool(x[..., 3:4], 4)
+                pooled = avg_pool_box(x[..., 3:4], 4)
             else:
                 pooled = avg_pool_alpha(alpha, pool_to_mesh * 4)
             mask = jax.lax.stop_gradient(pooled.astype(jnp.float32))

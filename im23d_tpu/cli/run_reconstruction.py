@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     # reference flags accepted for drop-in compatibility (:49,:60)
     p.add_argument("--image_freq", type=int, default=10,
                    help="epochs between TensorBoard image grids")
+    p.add_argument("--compute_dtype", type=str, default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="network conv compute dtype (auto = bfloat16 on "
+                   "TPU); losses/renderer/export stay float32")
     p.add_argument("--num_workers", type=int, default=4,
                    help="data-loading threads")
     p.add_argument("--multihost", action="store_true",
@@ -101,7 +105,14 @@ def main(argv=None) -> int:
     else:
         raise ValueError("Invalid dataset")
 
+    if args.compute_dtype == "auto":
+        import jax
+
+        args.compute_dtype = (
+            "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        )
     cfg = ReconConfig(
+        compute_dtype=args.compute_dtype,
         image_resolution=args.image_resolution,
         texture_resolution=args.texture_resolution,
         mesh_resolution=args.mesh_resolution,

@@ -63,6 +63,10 @@ class ReconConfig:
     epochs: int = 1000
     batch_size: int = 50
     seed: int = 0
+    # conv/dense compute dtype of the reconstruction network (see
+    # ReconstructionNetwork.compute_dtype); losses, DatasetParams, the
+    # renderer inputs and both network outputs stay float32
+    compute_dtype: str = "float32"
 
 
 def transform_vertices(vtx, scale, translation, rotation,
@@ -97,6 +101,7 @@ class ReconTrainer:
             symmetric=config.symmetric,
             texture_res=config.texture_resolution,
             mesh_res=config.mesh_resolution,
+            compute_dtype=config.compute_dtype,
         )
         self.use_dp = config.optimize_deltas or config.optimize_z0
         self.dp_model = (

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", type=str, default=None,
                    help="workdir to restore the latest checkpoint from")
     p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="encoder/pose-trunk compute dtype (auto = bfloat16 "
+                        "on TPU); heads and the projection loss stay f32")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a multi-host TPU "
                         "pod (or set IM23D_MULTIHOST=1); the mesh then "
@@ -57,6 +61,8 @@ def main(argv=None) -> int:
         overrides["total_steps"] = args.steps
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
+    if args.compute_dtype != "auto":
+        overrides["compute_dtype"] = args.compute_dtype
     if overrides:
         cfg = ShapeNetConfig(**{**cfg.__dict__, **overrides})
 

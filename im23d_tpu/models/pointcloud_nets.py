@@ -13,11 +13,15 @@ re-designed for TPU:
 * The projection itself lives in ``im23d_tpu/losses/effective.py`` as a pure
   function so the training step controls dropout rng and the p/sigma
   schedules without mutating module state.
+* Mixed precision: ``compute_dtype`` sets the conv/dense compute dtype
+  (params stay float32).  The point-cloud / scale / quaternion heads always
+  run and return float32 — bf16 tanh outputs would quantize point positions
+  by ~1/4 voxel at grid 64, and the projection kernels expect f32 poses.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -37,6 +41,7 @@ class ConvEncoder(nn.Module):
     features: int = 1024
     channels: int = 16
     strides: Sequence[int] = (2, 2, 1, 2, 1, 2, 1, 2, 1)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,12 +56,15 @@ class ConvEncoder(nn.Module):
                 padding=((k // 2, k // 2), (k // 2, k // 2)),
                 use_bias=True,
                 kernel_init=kaiming_normal,
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(self.features, kernel_init=kaiming_normal)(x)
+        x = nn.Dense(self.features, kernel_init=kaiming_normal,
+                     dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.features, kernel_init=kaiming_normal)(x)
+        x = nn.Dense(self.features, kernel_init=kaiming_normal,
+                     dtype=self.dtype)(x)
         return x
 
 
@@ -72,6 +80,7 @@ class PointCloudDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray):
+        z = z.astype(jnp.float32)
         pc = nn.Dense(self.num_points * 3, kernel_init=kaiming_normal)(z)
         pc = jnp.tanh(pc.reshape(-1, self.num_points, 3)) / 2.0
         scale = None
@@ -84,12 +93,17 @@ class _PoseHead(nn.Module):
     """3-layer quaternion regression head (``basic_blocks.py:36-49``)."""
 
     hidden: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.relu(nn.Dense(self.hidden, kernel_init=kaiming_normal)(x))
-        x = nn.relu(nn.Dense(self.hidden, kernel_init=kaiming_normal)(x))
-        return nn.Dense(4, kernel_init=kaiming_normal)(x)
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=kaiming_normal,
+                             dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=kaiming_normal,
+                             dtype=self.dtype)(x))
+        # quaternion head in f32: the ensemble argmin + student angle loss
+        # compare candidates whose bf16 gap can round to zero
+        return nn.Dense(4, kernel_init=kaiming_normal)(x.astype(jnp.float32))
 
 
 class PoseDecoder(nn.Module):
@@ -107,18 +121,21 @@ class PoseDecoder(nn.Module):
 
     hidden: int = 128
     num_candidates: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray):
-        student = _PoseHead(self.hidden, name="student_head")(
-            nn.relu(nn.Dense(self.hidden, kernel_init=kaiming_normal, name="student_trunk")(z))
+        student = _PoseHead(self.hidden, dtype=self.dtype, name="student_head")(
+            nn.relu(nn.Dense(self.hidden, kernel_init=kaiming_normal,
+                             dtype=self.dtype, name="student_trunk")(z))
         )
         shared = nn.relu(
-            nn.Dense(self.hidden, kernel_init=kaiming_normal, name="ensemble_trunk")(z)
+            nn.Dense(self.hidden, kernel_init=kaiming_normal,
+                     dtype=self.dtype, name="ensemble_trunk")(z)
         )
         ensemble = jnp.stack(
             [
-                _PoseHead(self.hidden, name=f"head_{k}")(shared)
+                _PoseHead(self.hidden, dtype=self.dtype, name=f"head_{k}")(shared)
                 for k in range(self.num_candidates)
             ],
             axis=1,
@@ -146,12 +163,15 @@ class UnsupervisedPart(nn.Module):
     pose_hidden: int = 128
     num_candidates: int = 4
     num_views: int = 5
+    compute_dtype: str = "float32"
 
     def setup(self):
-        self.encoder = ConvEncoder(features=self.z_dim)
+        dt = jnp.dtype(self.compute_dtype)
+        self.encoder = ConvEncoder(features=self.z_dim, dtype=dt)
         self.decoder = PointCloudDecoder(num_points=self.num_points)
         self.pose_decoder = PoseDecoder(
-            hidden=self.pose_hidden, num_candidates=self.num_candidates
+            hidden=self.pose_hidden, num_candidates=self.num_candidates,
+            dtype=dt,
         )
 
     def __call__(self, images: jnp.ndarray, pose_images: jnp.ndarray):
@@ -178,9 +198,11 @@ class SupervisedPart(nn.Module):
 
     num_points: int = 8000
     z_dim: int = 1024
+    compute_dtype: str = "float32"
 
     def setup(self):
-        self.encoder = ConvEncoder(features=self.z_dim)
+        self.encoder = ConvEncoder(features=self.z_dim,
+                                   dtype=jnp.dtype(self.compute_dtype))
         self.decoder = PointCloudDecoder(num_points=self.num_points)
 
     def __call__(self, images: jnp.ndarray):

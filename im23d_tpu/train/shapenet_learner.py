@@ -58,6 +58,10 @@ class ShapeNetConfig:
     eval_every: int = 13_000
     log_every: int = 50
     seed: int = 100
+    # encoder / pose-trunk compute dtype ("auto" = bfloat16 on TPU); the
+    # point-cloud, scale and quaternion heads and the whole projection loss
+    # stay float32 (see models/pointcloud_nets.py)
+    compute_dtype: str = "auto"
 
     @staticmethod
     def chairs() -> "ShapeNetConfig":
@@ -97,10 +101,14 @@ class ShapeNetLearner:
         self.workdir = workdir
         self.param_shardings = param_shardings
         self.mesh = mesh if mesh is not None else make_data_mesh(config.batch_size)
+        dt = config.compute_dtype
+        if dt == "auto":
+            dt = "bfloat16" if jax.default_backend() == "tpu" else "float32"
         self.model = UnsupervisedPart(
             num_points=config.num_points,
             num_candidates=config.num_candidates,
             num_views=config.num_views,
+            compute_dtype=dt,
         )
         self._base_rng = jax.random.PRNGKey(config.seed)
         self.state = self._init_state()

@@ -57,6 +57,28 @@ def test_model_output_shapes():
     assert np.abs(np.asarray(out["point_cloud"])).max() <= 0.5
 
 
+def test_model_bfloat16_compute_close_to_f32():
+    """Mixed precision reuses f32 params; outputs stay f32 and close."""
+    cfg = tiny_config()
+    kw = dict(num_points=cfg.num_points, num_candidates=cfg.num_candidates,
+              num_views=cfg.num_views)
+    model32 = UnsupervisedPart(**kw)
+    model16 = UnsupervisedPart(**kw, compute_dtype="bfloat16")
+    B, V, H = cfg.batch_size, cfg.num_views, cfg.image_size
+    rng = jax.random.PRNGKey(1)
+    imgs = jax.random.uniform(rng, (B, H, H, 3))
+    pose_imgs = jax.random.uniform(rng, (B * V, H, H, 3))
+    params = model32.init(jax.random.PRNGKey(0), imgs, pose_imgs)
+    out32 = model32.apply(params, imgs, pose_imgs)
+    out16 = model16.apply(params, imgs, pose_imgs)
+    for key in ("point_cloud", "scale", "ensemble_q", "student_q"):
+        assert out16[key].dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(out16[key]), np.asarray(out32[key]),
+            atol=0.15, rtol=0.1,
+        )
+
+
 @pytest.mark.slow
 def test_unsupervised_loss_train_and_eval():
     cfg = tiny_config()

@@ -14,7 +14,7 @@ re-cast for the TPU's static-shape model:
   produce d(planes), and JAX's vjp of the prep chains it to vertices and
   attributes.
 * Faces are Morton-sorted (16-bit interleave of the quantized bbox center)
-  and grouped into chunks of 64; each chunk gets a margin-expanded bbox.
+  and grouped into chunks of 32; each chunk gets a margin-expanded bbox.
   The kernel walks chunks inside a ``fori_loop`` and skips, via
   ``lax.cond``, every chunk whose bbox misses the current 8x128 pixel tile
   — the TPU equivalent of a rasterizer's bin pass (static shapes, dynamic
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CF = 64          # faces per chunk (axis 0 of the in-kernel work arrays)
+_CF = 32          # faces per chunk (axis 0 of the in-kernel work arrays)
 _TH, _TW = 8, 128  # pixel tile: 8 sublanes x 128 lanes
 _R = 128          # plane-tensor lane width (columns, padded to one lane tile)
 _NEG_BIG = -1e9

@@ -41,7 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CF = 32          # faces per chunk (axis 0 of the in-kernel work arrays)
-_TH, _TW = 8, 128  # pixel tile: 8 sublanes x 128 lanes
+# pixel tile: 1024 pixels as a 32x32 square footprint.  An 8x128 tile spans
+# half the image width at 256 squared, so chunk bboxes almost always pass
+# the x test and culling only works in y; a square tile roughly halves the
+# surviving face-pixel pairs.  Mosaic requires (8, 128)-divisible block
+# tails, so each tile's pixels are *stored* as one native (8, 128) block of
+# a (B, C, TY*TX*8, 128) array and converted to/from image layout in XLA
+# (_tiles_to_image / _image_to_tiles); the winner cache never leaves tile
+# layout.
+_TH, _TW = 32, 32
+_SL, _LN = 8, 128  # storage block: 8 sublanes x 128 lanes = one tile
 _R = 128          # plane-tensor lane width (columns, padded to one lane tile)
 _NEG_BIG = -1e9
 
@@ -199,7 +208,7 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, bz_ref, bc_ref,
     P = _TH * _TW
 
     # pixel-center NDC coordinates, pixels flattened onto the lane axis
-    # (row-major over the 8x128 tile; true H/W mapping — out-of-image
+    # (row-major over the 32x32 tile; true H/W mapping — out-of-image
     # pixels get harmless coords and are cropped by the caller)
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     row = (p_idx // _TW + ty * _TH).astype(jnp.float32)
@@ -309,11 +318,11 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, bz_ref, bc_ref,
             + wacc[3 * a_i + 2:3 * a_i + 3]
         )
         rows.append(jnp.where(covered, val, 0.0))
-    feat_ref[0] = jnp.concatenate(rows, axis=0).reshape(num_attrs, _TH, _TW)
-    soft_ref[0] = (1.0 - jnp.exp(log_miss)).reshape(1, _TH, _TW)
+    feat_ref[0] = jnp.concatenate(rows, axis=0).reshape(num_attrs, _SL, _LN)
+    soft_ref[0] = (1.0 - jnp.exp(log_miss)).reshape(1, _SL, _LN)
     # winner cache: lets the backward skip its find pass
-    bz_ref[0] = best_z.reshape(1, _TH, _TW)
-    bc_ref[0] = best_c.reshape(1, _TH, _TW)
+    bz_ref[0] = best_z.reshape(1, _SL, _LN)
+    bc_ref[0] = best_c.reshape(1, _SL, _LN)
 
 
 def _use_interpret() -> bool:
@@ -496,8 +505,9 @@ def _raster_bwd_impl(planes, bboxes, dfeat, dsoft, soft, bz, bc, height,
         sigma=float(sigma),
         margin=float(margin),
     )
+    TX = wp // _TW
     img_spec = lambda ch: pl.BlockSpec(
-        (1, ch, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+        (1, ch, _SL, _LN), lambda b, i, j: (b, 0, i * TX + j, 0),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
@@ -521,6 +531,24 @@ def _raster_bwd_impl(planes, bboxes, dfeat, dsoft, soft, bz, bc, height,
     )(bboxes, planes, dfeat, dsoft, soft, bz, bc)
 
 
+def _tiles_to_image(x, height, width):
+    """Tile layout (B, C, TY*TX*_SL, _LN) -> padded NCHW (B, C, hp, wp)."""
+    B, C = x.shape[:2]
+    hp = _round_up(height, _TH)
+    wp = _round_up(width, _TW)
+    TY, TX = hp // _TH, wp // _TW
+    x = x.reshape(B, C, TY, TX, _TH, _TW)
+    return x.transpose(0, 1, 2, 4, 3, 5).reshape(B, C, hp, wp)
+
+
+def _image_to_tiles(x):
+    """Padded NCHW (B, C, hp, wp) -> tile layout (B, C, TY*TX*_SL, _LN)."""
+    B, C, hp, wp = x.shape
+    TY, TX = hp // _TH, wp // _TW
+    x = x.reshape(B, C, TY, _TH, TX, _TW).transpose(0, 1, 2, 4, 3, 5)
+    return x.reshape(B, C, TY * TX * _SL, _LN)
+
+
 def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,
                            num_attrs):
     """Run the tiled kernel. planes (B, NC*CF, R), bboxes (B, NC, 4)."""
@@ -537,16 +565,17 @@ def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,
         sigma=float(sigma),
         margin=float(margin),
     )
+    TY, TX = hp // _TH, wp // _TW
     img_out = lambda ch, dt: (
-        pl.BlockSpec((1, ch, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+        pl.BlockSpec((1, ch, _SL, _LN), lambda b, i, j: (b, 0, i * TX + j, 0),
                      memory_space=pltpu.VMEM),
-        jax.ShapeDtypeStruct((B, ch, hp, wp), dt),
+        jax.ShapeDtypeStruct((B, ch, TY * TX * _SL, _LN), dt),
     )
     outs = [img_out(num_attrs, jnp.float32), img_out(1, jnp.float32),
             img_out(1, jnp.float32), img_out(1, jnp.int32)]
-    feat, soft, bz, bc = pl.pallas_call(
+    feat_t, soft_t, bz, bc = pl.pallas_call(
         kernel,
-        grid=(B, hp // _TH, wp // _TW),
+        grid=(B, TY, TX),
         in_specs=[
             pl.BlockSpec((1, num_chunks, 4), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -557,44 +586,46 @@ def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,
         out_shape=[o[1] for o in outs],
         interpret=_use_interpret(),
     )(bboxes, planes)
-    # NCHW (lane-friendly writes) -> NHWC crop; bz/bc stay padded NCHW for
-    # the backward kernel's winner cache
-    feat = feat[:, :, :height, :width].transpose(0, 2, 3, 1)
-    soft = soft[:, :, :height, :width].transpose(0, 2, 3, 1)
-    return feat, soft, bz, bc
+    # tile layout -> NHWC crop; soft additionally kept in tile layout for
+    # the backward (with bz/bc, which never leave tile layout)
+    feat = _tiles_to_image(feat_t, height, width)[
+        :, :, :height, :width].transpose(0, 2, 3, 1)
+    soft = _tiles_to_image(soft_t, height, width)[
+        :, :, :height, :width].transpose(0, 2, 3, 1)
+    return feat, soft, soft_t, bz, bc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _raster_core(planes, bboxes, height, width, sigma, margin, num_attrs):
-    feat, soft, _, _ = _rasterize_from_planes(
+    feat, soft, _, _, _ = _rasterize_from_planes(
         planes, bboxes, height, width, sigma, margin, num_attrs
     )
     return feat, soft
 
 
 def _raster_core_fwd(planes, bboxes, height, width, sigma, margin, num_attrs):
-    feat, soft, bz, bc = _rasterize_from_planes(
+    feat, soft, soft_t, bz, bc = _rasterize_from_planes(
         planes, bboxes, height, width, sigma, margin, num_attrs
     )
-    return (feat, soft), (planes, bboxes, soft, bz, bc)
+    return (feat, soft), (planes, bboxes, soft_t, bz, bc)
 
 
 def _raster_core_bwd(height, width, sigma, margin, num_attrs, residuals,
                      grads):
-    planes, bboxes, soft, bz, bc = residuals
+    planes, bboxes, soft_t, bz, bc = residuals
     dfeat, dsoft = grads                 # cropped NHWC cotangents
     hp = _round_up(height, _TH)
     wp = _round_up(width, _TW)
 
-    def to_padded_nchw(x):
+    def to_tiles(x):
         x = x.transpose(0, 3, 1, 2)
-        return jnp.pad(
+        return _image_to_tiles(jnp.pad(
             x, ((0, 0), (0, 0), (0, hp - height), (0, wp - width))
-        )
+        ))
 
     dplanes = _raster_bwd_impl(
-        planes, bboxes, to_padded_nchw(dfeat), to_padded_nchw(dsoft),
-        to_padded_nchw(soft), bz, bc, height, width, sigma, margin,
+        planes, bboxes, to_tiles(dfeat), to_tiles(dsoft),
+        soft_t, bz, bc, height, width, sigma, margin,
         num_attrs,
     )
     return dplanes, jnp.zeros_like(bboxes)

@@ -58,7 +58,7 @@ _NEG_BIG = -1e9
 _E = 0            # 3 edges x (a, b, c)                      -> cols 0..8
 _Z = 9            # depth plane (a, b, c)                    -> cols 9..11
 _FRONT = 12       # front-face / validity flag
-_SEG = 13         # 3 segments x (abx, aby, ab2, ax, ay)     -> cols 13..27
+_SEG = 13         # 3 segments x (abx, aby, inv_ab2, ax, ay)     -> cols 13..27
 _SEG_W = 5
 _ATTR = 28        # A attributes x (a, b, c)                 -> cols 28..28+3A
 
@@ -152,7 +152,12 @@ def prepare_planes(
         abx = x[..., j] - x[..., k]
         aby = y[..., j] - y[..., k]
         ab2 = abx * abx + aby * aby
-        cols += [abx, aby, ab2, x[..., k], y[..., k]]
+        # stored inverted: t = clip(s * inv_ab2) saves a max+div per
+        # segment in both kernels; the column's cotangent is identically
+        # zero (dd2/dab2 = 0, see _bwd_kernel) so the change is
+        # gradient-transparent
+        inv_ab2 = 1.0 / jnp.maximum(ab2, 1e-12)
+        cols += [abx, aby, inv_ab2, x[..., k], y[..., k]]
     for a_i in range(A):
         pa, pb, pc = plane_of(attrs[..., a_i])
         cols += [pa, pb, pc]
@@ -282,12 +287,12 @@ def _fwd_kernel(bbox_ref, planes_ref, feat_ref, soft_ref, bz_ref, bc_ref,
             for k in range(3):
                 base = _SEG + k * _SEG_W
                 abx, aby = _col(chunk, base), _col(chunk, base + 1)
-                ab2 = _col(chunk, base + 2)
+                inv_ab2 = _col(chunk, base + 2)
                 ax, ay = _col(chunk, base + 3), _col(chunk, base + 4)
                 apx = px - ax
                 apy = py - ay
                 s = apx * abx + apy * aby
-                t = jnp.clip(s / jnp.maximum(ab2, 1e-12), 0.0, 1.0)
+                t = jnp.clip(s * inv_ab2, 0.0, 1.0)
                 dx = apx - t * abx
                 dy = apy - t * aby
                 d2k = dx * dx + dy * dy
@@ -432,12 +437,12 @@ def _bwd_kernel(bbox_ref, planes_ref, dfeat_ref, dsoft_ref, soft_ref,
             for k in range(3):
                 base = _SEG + k * _SEG_W
                 abx, aby = _col(chunk, base), _col(chunk, base + 1)
-                ab2 = _col(chunk, base + 2)
+                inv_ab2 = _col(chunk, base + 2)
                 ax, ay = _col(chunk, base + 3), _col(chunk, base + 4)
                 apx = px - ax
                 apy = py - ay
                 s = apx * abx + apy * aby
-                t = jnp.clip(s / jnp.maximum(ab2, 1e-12), 0.0, 1.0)
+                t = jnp.clip(s * inv_ab2, 0.0, 1.0)
                 dx = apx - t * abx
                 dy = apy - t * aby
                 d2k = dx * dx + dy * dy

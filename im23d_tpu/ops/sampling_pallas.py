@@ -35,9 +35,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TH, _TW = 8, 128          # sample tile (P = 1024 pixels on the lane axis)
+_TH, _TW = 32, 32          # sample tile: 1024 px as a square footprint —
+#   an 8x128 tile spans half a 256-wide sample grid, so nearly every tile
+#   crosses the object and y-spans stay large; square tiles keep UV spans
+#   ~4x tighter so the window ladder actually triggers.  Tiles are stored
+#   as native (8, 128) blocks of a (B, C, T*8, 128) array (Mosaic block
+#   divisibility) and converted to/from image layout in XLA.
 _P = _TH * _TW
-_WH = 128                  # y-window rows
+_SL, _LN = 8, 128          # storage block: one tile = one (8, 128) block
+_WH = 128                  # y-window rows (largest ladder tier)
 _NEG = -2.0                # pad coordinate (samples to zero, keeps spans tight)
 
 
@@ -100,34 +106,44 @@ def _sample_tile(window, x, y, W, C, row0, dot_dtype=jnp.float32):
     return jnp.concatenate(outs, axis=1).T                # (C, P)
 
 
+def _tier_sizes(H: int, wh: int):
+    """Window-size ladder: smallest fitting tier wins.
+
+    Most tiles' y-spans are tiny (uniform background UVs, smooth interior
+    maps), so a 16-row window does 1/8 the matmul work of the 128-row one;
+    only tiles whose span genuinely needs it pay for a bigger window or the
+    dense fallback."""
+    return [t for t in (16, 64) if t < min(wh, H)] + ([wh] if wh < H else [])
+
+
 def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, wh,
                 dot_dtype=jnp.float32):
     xy = coords_ref[0].reshape(2, _P)
     x, y = xy[0], xy[1]
     zero = jnp.asarray(0, jnp.int32)
 
-    if wh >= H:
-        out = _sample_tile(img_ref[0], x, y, W, C, zero, dot_dtype)
-    else:
-        row0, ok = _window_start(y, H, wh)
-
-        def windowed(_):
-            return _sample_tile(img_ref[0, pl.ds(row0, wh), :], x, y, W, C,
+    def windowed(whx):
+        def f(_):
+            row0, _ = _window_start(y, H, whx)
+            return _sample_tile(img_ref[0, pl.ds(row0, whx), :], x, y, W, C,
                                 row0, dot_dtype)
+        return f
 
-        def dense(_):
-            return _sample_tile(img_ref[0], x, y, W, C, zero, dot_dtype)
+    def dense(_):
+        return _sample_tile(img_ref[0], x, y, W, C, zero, dot_dtype)
 
-        out = jax.lax.cond(ok, windowed, dense, 0)
-    out_ref[0] = out.reshape(C, _TH, _TW)
+    expr = dense
+    for whx in reversed(_tier_sizes(H, wh)):
+        _, ok = _window_start(y, H, whx)
+        def tiered(_, ok=ok, whx=whx, nxt=expr):
+            return jax.lax.cond(ok, windowed(whx), nxt, 0)
+        expr = tiered
+    out_ref[0] = expr(0).reshape(C, _SL, _LN)
 
 
 def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
                 H, W, C, wh, dot_dtype=jnp.float32):
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
 
@@ -181,24 +197,27 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
             ))  # (whh, W)
         return dgx, dgy, jnp.concatenate(dimg_upd, axis=1)
 
-    if wh >= H:
-        dgx, dgy, dimg_upd = grads(img_ref[0], zero)
-        dimg_ref[0] += dimg_upd
-    else:
-        row0, ok = _window_start(y, H, wh)
-
-        def windowed(_):
-            dgx, dgy, upd = grads(img_ref[0, pl.ds(row0, wh), :], row0)
-            dimg_ref[0, pl.ds(row0, wh), :] += upd
+    def windowed(whx):
+        def f(_):
+            row0, _ = _window_start(y, H, whx)
+            dgx, dgy, upd = grads(img_ref[0, pl.ds(row0, whx), :], row0)
+            dimg_ref[0, pl.ds(row0, whx), :] += upd
             return dgx, dgy
+        return f
 
-        def dense(_):
-            dgx, dgy, upd = grads(img_ref[0], zero)
-            dimg_ref[0] += upd
-            return dgx, dgy
+    def dense(_):
+        dgx, dgy, upd = grads(img_ref[0], zero)
+        dimg_ref[0] += upd
+        return dgx, dgy
 
-        dgx, dgy = jax.lax.cond(ok, windowed, dense, 0)
-    dcoords_ref[0] = jnp.concatenate([dgx, dgy], axis=0).reshape(2, _TH, _TW)
+    expr = dense
+    for whx in reversed(_tier_sizes(H, wh)):
+        _, ok = _window_start(y, H, whx)
+        def tiered(_, ok=ok, whx=whx, nxt=expr):
+            return jax.lax.cond(ok, windowed(whx), nxt, 0)
+        expr = tiered
+    dgx, dgy = expr(0)
+    dcoords_ref[0] = jnp.concatenate([dgx, dgy], axis=0).reshape(2, _SL, _LN)
 
 
 def _use_interpret() -> bool:
@@ -218,23 +237,42 @@ def _sample_core(coords, img_hcw, H, W, C, wh, dot_bf16=False):
     return _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16)
 
 
+def _tiles_to_image(x, Hg, Wg):
+    """Tile layout (B, C, T*_SL, _LN) -> padded image (B, C, hp, wp)."""
+    B, C = x.shape[:2]
+    hp = _round_up(Hg, _TH)
+    wp = _round_up(Wg, _TW)
+    TY, TX = hp // _TH, wp // _TW
+    x = x.reshape(B, C, TY, TX, _TH, _TW)
+    return x.transpose(0, 1, 2, 4, 3, 5).reshape(B, C, hp, wp)
+
+
+def _image_to_tiles(x):
+    """Padded image (B, C, hp, wp) -> tile layout (B, C, T*_SL, _LN)."""
+    B, C, hp, wp = x.shape
+    TY, TX = hp // _TH, wp // _TW
+    x = x.reshape(B, C, TY, _TH, TX, _TW).transpose(0, 1, 2, 4, 3, 5)
+    return x.reshape(B, C, TY * TX * _SL, _LN)
+
+
 def _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16=False):
-    B, _, hp, wp = coords.shape
+    B, _, t_sl, _ = coords.shape              # tile layout (B, 2, T*_SL, _LN)
+    T = t_sl // _SL
     dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
     kernel = functools.partial(_fwd_kernel, H=H, W=W, C=C, wh=wh,
                                dot_dtype=dot_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, hp // _TH, wp // _TW),
+        grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 2, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+            pl.BlockSpec((1, 2, _SL, _LN), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, C * W), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((1, H, C * W), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+        out_specs=pl.BlockSpec((1, C, _SL, _LN), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, t_sl, _LN), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -249,30 +287,31 @@ def _sample_core_fwd(coords, img_hcw, H, W, C, wh, dot_bf16=False):
 
 def _sample_core_bwd(H, W, C, wh, dot_bf16, residuals, dout):
     coords, img_hcw = residuals
-    B, _, hp, wp = coords.shape
+    B, _, t_sl, _ = coords.shape              # tile layout
+    T = t_sl // _SL
     dot_dtype = jnp.bfloat16 if dot_bf16 else jnp.float32
     kernel = functools.partial(_bwd_kernel, H=H, W=W, C=C, wh=wh,
                                dot_dtype=dot_dtype)
     dimg, dcoords = pl.pallas_call(
         kernel,
-        grid=(B, hp // _TH, wp // _TW),
+        grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 2, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+            pl.BlockSpec((1, 2, _SL, _LN), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, C * W), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((1, H, C * W), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+            pl.BlockSpec((1, C, _SL, _LN), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, C * W), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((1, H, C * W), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, _TH, _TW), lambda b, i, j: (b, 0, i, j),
+            pl.BlockSpec((1, 2, _SL, _LN), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, C * W), jnp.float32),
-            jax.ShapeDtypeStruct((B, 2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, t_sl, _LN), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -324,7 +363,7 @@ def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     coords = jnp.stack([x, y], axis=1)                    # (B, 2, Hg, Wg)
     hp = _round_up(Hg, _TH)
     wp = _round_up(Wg, _TW)
-    coords = _pad_coords(coords, hp, wp)
+    coords = _image_to_tiles(_pad_coords(coords, hp, wp))
     Hp, Wp = _aligned_hw(H, W, C)
     if (Hp, Wp) != (H, W):
         # align by zero-padding (e.g. the circular-padded 130-wide recon
@@ -333,4 +372,5 @@ def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     img_hcw = img.transpose(0, 1, 3, 2).reshape(B, Hp, C * Wp)
     wh = min(_WH, Hp)
     out = _sample_core(coords, img_hcw, Hp, Wp, C, wh, dot_bf16)
+    out = _tiles_to_image(out, Hg, Wg)        # tile -> padded image layout
     return out[:, :, :Hg, :Wg].transpose(0, 2, 3, 1)      # (B, Hg, Wg, C)

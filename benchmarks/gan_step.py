@@ -33,9 +33,10 @@ def measure(trainer, batch, steps: int = 6) -> dict:
 
     def sync(losses):
         # explicit scalar fetch: block_until_ready does not reliably
-        # synchronize through the axon tunnel (see bench.py)
-        for v in losses.values():
-            float(v)
+        # synchronize through the axon tunnel (see bench.py).  One fetch
+        # fences the step; fetching every loss adds a ~25 ms tunnel RPC
+        # round-trip each.
+        float(next(iter(losses.values())))
 
     # one G + two D to compile both executables
     for _ in range(3):

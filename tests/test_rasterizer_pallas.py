@@ -88,3 +88,19 @@ def test_empty_scene():
     feat, soft = rasterize_tiled(verts, faces, attrs, 32, 32)
     assert float(jnp.abs(feat).max()) == 0.0
     assert float(jnp.abs(soft).max()) == 0.0
+
+
+def test_tile_layout_roundtrip():
+    """Image <-> native-block tile layout conversions are exact inverses."""
+    import numpy as np
+
+    from im23d_tpu.render import rasterizer_pallas as rp
+
+    rng = np.random.default_rng(0)
+    for H, W in ((64, 96), (32, 32), (96, 160)):
+        x = rng.standard_normal((2, 3, H, W)).astype(np.float32)
+        tiles = rp._image_to_tiles(jnp.asarray(x))
+        assert tiles.shape == (2, 3, (H // rp._TH) * (W // rp._TW) * rp._SL,
+                               rp._LN)
+        back = rp._tiles_to_image(tiles, H, W)
+        np.testing.assert_array_equal(np.asarray(back), x)

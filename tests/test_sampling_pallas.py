@@ -97,3 +97,24 @@ def test_unaligned_texture_matches_reference():
     )
     np.testing.assert_allclose(np.asarray(gi_r), np.asarray(gi_p), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gg_r), np.asarray(gg_p), atol=1e-3)
+
+
+def test_sampler_tile_layout_roundtrip():
+    import numpy as np
+
+    from im23d_tpu.ops import sampling_pallas as sp
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 2, 64, 96)).astype(np.float32)
+    tiles = sp._image_to_tiles(jnp.asarray(x))
+    back = sp._tiles_to_image(tiles, 64, 96)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_window_ladder_tiers():
+    from im23d_tpu.ops.sampling_pallas import _tier_sizes
+
+    assert _tier_sizes(256, 128) == [16, 64, 128]
+    assert _tier_sizes(128, 128) == [16, 64]   # wh == H: dense covers it
+    assert _tier_sizes(32, 128) == [16]
+    assert _tier_sizes(8, 128) == []

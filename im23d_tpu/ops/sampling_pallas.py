@@ -82,22 +82,22 @@ def _precision(dot_dtype):
     return (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32 else None)
 
 
-def _sample_tile(window, x, y, W, C, row0, dot_dtype=jnp.float32):
-    """Bilinear sample against a (wh, C*W) row window starting at row0.
+def _sample_tile(windows, x, y, row0, col0, dot_dtype=jnp.float32):
+    """Bilinear sample against C per-channel (wh, ww) windows.
 
     x-first per-channel contraction: the intermediate is (P, wh) instead of
     (P, C*W) — at 512x512xC sources the y-first form spills ~6 MB of VMEM
     per tile and the kernel becomes traffic-bound.
     """
-    wh = window.shape[0]
+    wh, ww = windows[0].shape
     rows = _row_iota(wh) + row0.astype(jnp.float32)       # (1, wh)
+    cols = _row_iota(ww) + col0.astype(jnp.float32)       # (1, ww)
     wy = _hat(y.reshape(_P, 1) - rows)                    # (P, wh)
-    wx = _hat(x.reshape(_P, 1) - _row_iota(W)).astype(dot_dtype)
-    win = window.astype(dot_dtype)
+    wx = _hat(x.reshape(_P, 1) - cols).astype(dot_dtype)  # (P, ww)
     outs = []
-    for c in range(C):
+    for win_c in windows:
         t1y = jax.lax.dot_general(                        # (P, wh)
-            wx, win[:, c * W:(c + 1) * W],
+            wx, win_c.astype(dot_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(dot_dtype),
@@ -107,7 +107,7 @@ def _sample_tile(window, x, y, W, C, row0, dot_dtype=jnp.float32):
 
 
 def _tier_sizes(H: int, wh: int):
-    """Window-size ladder: smallest fitting tier wins.
+    """y-window ladder: smallest fitting tier wins.
 
     Most tiles' y-spans are tiny (uniform background UVs, smooth interior
     maps), so a 16-row window does 1/8 the matmul work of the 128-row one;
@@ -116,27 +116,73 @@ def _tier_sizes(H: int, wh: int):
     return [t for t in (16, 64) if t < min(wh, H)] + ([wh] if wh < H else [])
 
 
+def _x_tiers(W: int):
+    """x-window ladder (lane axis).
+
+    Mosaic lane-dim dynamic slices must be 128-aligned, so x-windows only
+    exist at 128-granularity and only pay off for wide sources; the
+    channel-base offsets c*W must themselves stay 128-aligned."""
+    return [256] if (W >= 384 and W % 128 == 0) else []
+
+
+def _col_window_start(x, W, ww):
+    """128-aligned x-window start + whether the tile's x-span fits."""
+    x_min = jnp.min(x)
+    x_max = jnp.max(x)
+    start = jnp.clip(jnp.floor(x_min).astype(jnp.int32), 0, max(W - ww, 0))
+    start = pl.multiple_of((start // 128) * 128, 128)
+    ok = (x_max - start.astype(jnp.float32)) <= (ww - 2)
+    return start, ok
+
+
+def _window_combos(H: int, W: int, wh: int):
+    """(whx|None, xw|None) tier combos, cheapest area first (None = dense)."""
+    combos = [
+        (whx, xw)
+        for whx in _tier_sizes(H, wh) + [None]
+        for xw in _x_tiers(W) + [None]
+        if not (whx is None and xw is None)
+    ]
+    combos.sort(key=lambda c: (c[0] or H) * (c[1] or W))
+    return combos
+
+
 def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, wh,
                 dot_dtype=jnp.float32):
     xy = coords_ref[0].reshape(2, _P)
     x, y = xy[0], xy[1]
     zero = jnp.asarray(0, jnp.int32)
 
-    def windowed(whx):
+    def combo_fits(whx, xw):
+        ok = jnp.bool_(True)
+        if whx is not None:
+            ok = jnp.logical_and(ok, _window_start(y, H, whx)[1])
+        if xw is not None:
+            ok = jnp.logical_and(ok, _col_window_start(x, W, xw)[1])
+        return ok
+
+    def windows_of(whx, xw):
+        """Per-channel (wh|H, xw|W) ref windows + (row0, col0)."""
+        row0 = zero if whx is None else _window_start(y, H, whx)[0]
+        col0 = zero if xw is None else _col_window_start(x, W, xw)[0]
+        rows = slice(None) if whx is None else pl.ds(row0, whx)
+        cols = (
+            (lambda c: slice(c * W, (c + 1) * W)) if xw is None
+            else (lambda c: pl.ds(c * W + col0, xw))
+        )
+        wins = [img_ref[0, rows, cols(c)] for c in range(C)]
+        return wins, row0, col0
+
+    def body(whx, xw):
         def f(_):
-            row0, _ = _window_start(y, H, whx)
-            return _sample_tile(img_ref[0, pl.ds(row0, whx), :], x, y, W, C,
-                                row0, dot_dtype)
+            wins, row0, col0 = windows_of(whx, xw)
+            return _sample_tile(wins, x, y, row0, col0, dot_dtype)
         return f
 
-    def dense(_):
-        return _sample_tile(img_ref[0], x, y, W, C, zero, dot_dtype)
-
-    expr = dense
-    for whx in reversed(_tier_sizes(H, wh)):
-        _, ok = _window_start(y, H, whx)
-        def tiered(_, ok=ok, whx=whx, nxt=expr):
-            return jax.lax.cond(ok, windowed(whx), nxt, 0)
+    expr = body(None, None)
+    for whx, xw in reversed(_window_combos(H, W, wh)):
+        def tiered(_, ok=combo_fits(whx, xw), whx=whx, xw=xw, nxt=expr):
+            return jax.lax.cond(ok, body(whx, xw), nxt, 0)
         expr = tiered
     out_ref[0] = expr(0).reshape(C, _SL, _LN)
 
@@ -152,27 +198,28 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
     dout = dout_ref[0].reshape(C, _P)                     # (C, P)
     zero = jnp.asarray(0, jnp.int32)
 
-    def grads(window, r0):
-        """(dgx, dgy, dimg window update) for a (whh, C*W) row window."""
-        whh = window.shape[0]
+    def grads(windows, r0, c0):
+        """(dgx, dgy, per-channel dimg window updates)."""
+        whh, ww = windows[0].shape
         rows = _row_iota(whh) + r0.astype(jnp.float32)
+        cols = _row_iota(ww) + c0.astype(jnp.float32)
         dy_rows = y.reshape(_P, 1) - rows                 # (P, whh)
         wy = _hat(dy_rows)
         wyp = _hat_grad(dy_rows)
-        dx_cols = x.reshape(_P, 1) - _row_iota(W)         # (P, W)
+        dx_cols = x.reshape(_P, 1) - cols                 # (P, ww)
         wx = _hat(dx_cols)
         wxp = _hat_grad(dx_cols)
         wy_d = wy.astype(dot_dtype)
         wx_d = wx.astype(dot_dtype)
-        win = window.astype(dot_dtype)
         prec = _precision(dot_dtype)
 
         dgx = jnp.zeros((1, _P), jnp.float32)
         dgy = jnp.zeros((1, _P), jnp.float32)
         dimg_upd = []
-        for c in range(C):
-            t1c = jax.lax.dot_general(                    # (P, W)
-                wy_d, win[:, c * W:(c + 1) * W],
+        for c, win_raw in enumerate(windows):
+            win = win_raw.astype(dot_dtype)
+            t1c = jax.lax.dot_general(                    # (P, ww)
+                wy_d, win,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
@@ -182,7 +229,7 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
             dgx = dgx + jnp.sum(wxp * t1c * dc, axis=1).reshape(1, _P)
             # d y needs the x-first partial: (P, whh)
             t1y = jax.lax.dot_general(
-                wx_d, win[:, c * W:(c + 1) * W],
+                wx_d, win,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
@@ -194,27 +241,37 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
-            ))  # (whh, W)
-        return dgx, dgy, jnp.concatenate(dimg_upd, axis=1)
+            ))  # (whh, ww)
+        return dgx, dgy, dimg_upd
 
-    def windowed(whx):
+    def combo_fits(whx, xw):
+        ok = jnp.bool_(True)
+        if whx is not None:
+            ok = jnp.logical_and(ok, _window_start(y, H, whx)[1])
+        if xw is not None:
+            ok = jnp.logical_and(ok, _col_window_start(x, W, xw)[1])
+        return ok
+
+    def body(whx, xw):
         def f(_):
-            row0, _ = _window_start(y, H, whx)
-            dgx, dgy, upd = grads(img_ref[0, pl.ds(row0, whx), :], row0)
-            dimg_ref[0, pl.ds(row0, whx), :] += upd
+            row0 = zero if whx is None else _window_start(y, H, whx)[0]
+            col0 = zero if xw is None else _col_window_start(x, W, xw)[0]
+            rows = slice(None) if whx is None else pl.ds(row0, whx)
+            cols = (
+                (lambda c: slice(c * W, (c + 1) * W)) if xw is None
+                else (lambda c: pl.ds(c * W + col0, xw))
+            )
+            wins = [img_ref[0, rows, cols(c)] for c in range(C)]
+            dgx, dgy, upds = grads(wins, row0, col0)
+            for c, upd in enumerate(upds):
+                dimg_ref[0, rows, cols(c)] += upd
             return dgx, dgy
         return f
 
-    def dense(_):
-        dgx, dgy, upd = grads(img_ref[0], zero)
-        dimg_ref[0] += upd
-        return dgx, dgy
-
-    expr = dense
-    for whx in reversed(_tier_sizes(H, wh)):
-        _, ok = _window_start(y, H, whx)
-        def tiered(_, ok=ok, whx=whx, nxt=expr):
-            return jax.lax.cond(ok, windowed(whx), nxt, 0)
+    expr = body(None, None)
+    for whx, xw in reversed(_window_combos(H, W, wh)):
+        def tiered(_, ok=combo_fits(whx, xw), whx=whx, xw=xw, nxt=expr):
+            return jax.lax.cond(ok, body(whx, xw), nxt, 0)
         expr = tiered
     dgx, dgy = expr(0)
     dcoords_ref[0] = jnp.concatenate([dgx, dgy], axis=0).reshape(2, _SL, _LN)

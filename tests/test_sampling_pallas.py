@@ -118,3 +118,38 @@ def test_window_ladder_tiers():
     assert _tier_sizes(128, 128) == [16, 64]   # wh == H: dense covers it
     assert _tier_sizes(32, 128) == [16]
     assert _tier_sizes(8, 128) == []
+
+
+def test_wide_texture_x_window_parity():
+    """W=512 activates the x-window tier (lane-aligned column windows)."""
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 512, 512, 3))
+    # smooth grid -> windowed tiles; offset+zoom keeps spans tiny so the
+    # smallest (16, 256) combo actually runs
+    grid = _smooth_grid(1, 64, 64, amp=0.02) * 0.3 + 0.4
+    o0 = grid_sample_bilinear(img, grid)
+    o1 = grid_sample_bilinear_pallas(img, grid)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+
+def test_wide_texture_x_window_gradient_parity():
+    key = jax.random.PRNGKey(4)
+    img = jax.random.uniform(key, (1, 512, 512, 3))
+    # mix: smooth half + random half exercises windowed AND dense combos
+    smooth = _smooth_grid(1, 32, 64, amp=0.1)
+    rnd = jax.random.uniform(key, (1, 32, 64, 2), minval=-1.1, maxval=1.1)
+    grid = jnp.concatenate([smooth, rnd], axis=1)
+    wf = jax.random.normal(key, (1, 64, 64, 3))
+
+    def loss(fn, im, gr):
+        return jnp.sum(fn(im, gr) * wf)
+
+    g0i, g0g = jax.grad(lambda im, gr: loss(grid_sample_bilinear, im, gr),
+                        (0, 1))(img, grid)
+    g1i, g1g = jax.grad(
+        lambda im, gr: loss(grid_sample_bilinear_pallas, im, gr), (0, 1)
+    )(img, grid)
+    np.testing.assert_allclose(np.asarray(g0i), np.asarray(g1i), atol=1e-5)
+    scale = max(float(jnp.abs(g0g).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g0g) / scale, np.asarray(g1g) / scale, atol=1e-5
+    )

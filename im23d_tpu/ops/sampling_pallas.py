@@ -22,8 +22,10 @@ the UV-sphere pole where the mapping degenerates).
 
 Forward + custom-VJP backward (d img via transposed window matmuls
 accumulated in place; d coords via hat-derivative reductions).  The source
-image must fit VMEM ((C*H*W + C*WH*W)*4 within ~10 MB); larger sources fall
-back to the XLA gather at the call level.
+image (plus the dimg accumulator and dense-fallback work arrays) must fit
+the ~64 MB VMEM budget — covers the 1024-wide HD textures the inverse
+renderer samples during pseudo-gt generation; larger sources fall back to
+the XLA gather at the call level.
 """
 
 from __future__ import annotations
@@ -380,8 +382,9 @@ def _sample_core_bwd(H, W, C, wh, dot_bf16, residuals, dout):
 
 _sample_core.defvjp(_sample_core_fwd, _sample_core_bwd)
 
-# image + window + work arrays must fit VMEM
-_VMEM_IMG_LIMIT = 8 * 1024 * 1024
+# v5e VMEM is ~128 MB; budget for the worst (dense-fallback) backward
+# tile: source image + dimg accumulator + ~8 (P, W) hat/work arrays
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def _aligned_hw(H: int, W: int, C: int) -> tuple[int, int]:
@@ -400,7 +403,9 @@ def _aligned_hw(H: int, W: int, C: int) -> tuple[int, int]:
 def fits_pallas(img_shape) -> bool:
     B, H, W, C = img_shape
     Hp, Wp = _aligned_hw(H, W, C)
-    return Hp * C * Wp * 4 <= _VMEM_IMG_LIMIT
+    img_bytes = Hp * C * Wp * 4
+    work_bytes = 8 * _P * Wp * 4
+    return 2 * img_bytes + work_bytes <= _VMEM_BUDGET
 
 
 def grid_sample_bilinear_pallas(img: jnp.ndarray, grid: jnp.ndarray,

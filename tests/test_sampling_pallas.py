@@ -68,7 +68,10 @@ def test_gradient_parity():
 
 def test_fits_pallas_gate():
     assert fits_pallas((1, 512, 512, 4))
-    assert not fits_pallas((1, 1024, 1024, 4))  # exceeds the VMEM budget
+    # HD pseudo-gt textures (inverse renderer) now fit the VMEM budget
+    assert fits_pallas((1, 1024, 1024, 3))
+    assert not fits_pallas((1, 2048, 2048, 4))
+    assert fits_pallas((1, 1024, 1024, 4))  # exactly at the VMEM budget
     # unaligned shapes are handled by internal zero padding now
     assert fits_pallas((1, 299, 64, 3))
     assert fits_pallas((1, 128, 130, 3))  # circular-padded recon texture

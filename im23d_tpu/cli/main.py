@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--which_epoch", type=str, default="latest")
+    p.add_argument("--export_serving", type=str, default=None,
+                   help="write an AOT serving artifact (jax.export "
+                        "StableHLO, EMA generator baked in) to this path "
+                        "and exit; implies --evaluate")
+    p.add_argument("--export_platforms", type=str, default="tpu,cpu")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--truncation_sigma", type=float, default=-1)
     # reference flags accepted for drop-in compatibility (main.py:51-55,77,83)
@@ -136,7 +141,7 @@ def main(argv=None) -> int:
     from im23d_tpu.core.jax_setup import setup_jax
 
     setup_jax()
-    if args.save_results:
+    if args.save_results or args.export_serving:
         args.evaluate = True
 
     from im23d_tpu.core.metrics_logger import MetricsLogger
@@ -225,6 +230,16 @@ def main(argv=None) -> int:
             trainer.restore(step=int(args.which_epoch))
         elif args.which_epoch == "latest" or not args.evaluate:
             trainer.restore()
+
+    if args.export_serving:
+        from im23d_tpu.serve import export_gan_inference
+
+        export_gan_inference(
+            trainer, args.batch_size, args.export_serving,
+            platforms=tuple(args.export_platforms.split(",")),
+        )
+        print(f"wrote serving artifact to {args.export_serving}")
+        return 0
 
     import numpy as np
 

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--which_epoch", type=str, default="latest")
+    p.add_argument("--export_serving", type=str, default=None,
+                   help="write an AOT serving artifact (jax.export "
+                        "StableHLO, trained net baked in) to this path "
+                        "and exit")
+    p.add_argument("--export_platforms", type=str, default="tpu,cpu")
     p.add_argument("--mesh_regularization", type=float, default=5e-5)
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -135,8 +140,19 @@ def main(argv=None) -> int:
         mesh = init_multihost()
     trainer = ReconTrainer(cfg, dataset_size=len(train_ds), template=template,
                            workdir=workdir, mesh=mesh)
-    if args.evaluate or args.generate_pseudogt or args.continue_train:
+    if (args.evaluate or args.generate_pseudogt or args.continue_train
+            or args.export_serving):
         trainer.restore()
+
+    if args.export_serving:
+        from im23d_tpu.serve import export_reconstruction_inference
+
+        export_reconstruction_inference(
+            trainer, args.batch_size, args.export_serving,
+            platforms=tuple(args.export_platforms.split(",")),
+        )
+        print(f"wrote serving artifact to {args.export_serving}")
+        return 0
 
     train_keys = ("image", "scale", "translation", "rotation", "idx")
 

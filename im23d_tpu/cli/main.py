@@ -232,6 +232,15 @@ def main(argv=None) -> int:
             trainer.restore()
 
     if args.export_serving:
+        if args.which_epoch == "best":
+            # the 'best' sweep (FID over all numbered checkpoints) runs in
+            # the evaluate path below; exporting here would serialize the
+            # unrestored init instead of a trained generator
+            raise SystemExit(
+                "--export_serving requires --which_epoch latest or a "
+                "numeric epoch (run --evaluate --which_epoch best first "
+                "to identify the best epoch)"
+            )
         from im23d_tpu.serve import export_gan_inference
 
         export_gan_inference(

@@ -142,7 +142,10 @@ def main(argv=None) -> int:
                            workdir=workdir, mesh=mesh)
     if (args.evaluate or args.generate_pseudogt or args.continue_train
             or args.export_serving):
-        trainer.restore()
+        trainer.restore(
+            step=None if args.which_epoch in ("latest", "best")
+            else int(args.which_epoch)
+        )
 
     if args.export_serving:
         from im23d_tpu.serve import export_reconstruction_inference

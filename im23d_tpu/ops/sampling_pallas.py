@@ -37,14 +37,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TH, _TW = 32, 32          # sample tile: 1024 px as a square footprint —
+from im23d_tpu.ops.tile_layout import (
+    BLOCK_LN,
+    BLOCK_SL,
+    TILE_H,
+    TILE_W,
+    image_to_tiles,
+    tiles_to_image,
+)
+
+_TH, _TW = TILE_H, TILE_W  # sample tile: 1024 px as a square footprint —
 #   an 8x128 tile spans half a 256-wide sample grid, so nearly every tile
 #   crosses the object and y-spans stay large; square tiles keep UV spans
 #   ~4x tighter so the window ladder actually triggers.  Tiles are stored
 #   as native (8, 128) blocks of a (B, C, T*8, 128) array (Mosaic block
 #   divisibility) and converted to/from image layout in XLA.
 _P = _TH * _TW
-_SL, _LN = 8, 128          # storage block: one tile = one (8, 128) block
+_SL, _LN = BLOCK_SL, BLOCK_LN  # storage block: one tile = one (8, 128) block
 _WH = 128                  # y-window rows (largest ladder tier)
 _NEG = -2.0                # pad coordinate (samples to zero, keeps spans tight)
 
@@ -149,44 +158,56 @@ def _window_combos(H: int, W: int, wh: int):
     return combos
 
 
+def _combo_fits(x, y, H, W, whx, xw):
+    ok = jnp.bool_(True)
+    if whx is not None:
+        ok = jnp.logical_and(ok, _window_start(y, H, whx)[1])
+    if xw is not None:
+        ok = jnp.logical_and(ok, _col_window_start(x, W, xw)[1])
+    return ok
+
+
+def _window_slices(x, y, H, W, whx, xw):
+    """(row0, col0, row slice, per-channel column slicer) for one combo.
+
+    Shared by the forward and backward kernels so tier selection can never
+    disagree between them."""
+    zero = jnp.asarray(0, jnp.int32)
+    row0 = zero if whx is None else _window_start(y, H, whx)[0]
+    col0 = zero if xw is None else _col_window_start(x, W, xw)[0]
+    rows = slice(None) if whx is None else pl.ds(row0, whx)
+    cols = (
+        (lambda c: slice(c * W, (c + 1) * W)) if xw is None
+        else (lambda c: pl.ds(c * W + col0, xw))
+    )
+    return row0, col0, rows, cols
+
+
+def _tier_ladder(x, y, H, W, wh, body):
+    """Nest lax.conds so the cheapest fitting combo's body runs."""
+    expr = body(None, None)
+    for whx, xw in reversed(_window_combos(H, W, wh)):
+        def tiered(_, ok=_combo_fits(x, y, H, W, whx, xw), whx=whx, xw=xw,
+                   nxt=expr):
+            return jax.lax.cond(ok, body(whx, xw), nxt, 0)
+        expr = tiered
+    return expr(0)
+
+
 def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, wh,
                 dot_dtype=jnp.float32):
     xy = coords_ref[0].reshape(2, _P)
     x, y = xy[0], xy[1]
-    zero = jnp.asarray(0, jnp.int32)
-
-    def combo_fits(whx, xw):
-        ok = jnp.bool_(True)
-        if whx is not None:
-            ok = jnp.logical_and(ok, _window_start(y, H, whx)[1])
-        if xw is not None:
-            ok = jnp.logical_and(ok, _col_window_start(x, W, xw)[1])
-        return ok
-
-    def windows_of(whx, xw):
-        """Per-channel (wh|H, xw|W) ref windows + (row0, col0)."""
-        row0 = zero if whx is None else _window_start(y, H, whx)[0]
-        col0 = zero if xw is None else _col_window_start(x, W, xw)[0]
-        rows = slice(None) if whx is None else pl.ds(row0, whx)
-        cols = (
-            (lambda c: slice(c * W, (c + 1) * W)) if xw is None
-            else (lambda c: pl.ds(c * W + col0, xw))
-        )
-        wins = [img_ref[0, rows, cols(c)] for c in range(C)]
-        return wins, row0, col0
 
     def body(whx, xw):
         def f(_):
-            wins, row0, col0 = windows_of(whx, xw)
+            row0, col0, rows, cols = _window_slices(x, y, H, W, whx, xw)
+            wins = [img_ref[0, rows, cols(c)] for c in range(C)]
             return _sample_tile(wins, x, y, row0, col0, dot_dtype)
         return f
 
-    expr = body(None, None)
-    for whx, xw in reversed(_window_combos(H, W, wh)):
-        def tiered(_, ok=combo_fits(whx, xw), whx=whx, xw=xw, nxt=expr):
-            return jax.lax.cond(ok, body(whx, xw), nxt, 0)
-        expr = tiered
-    out_ref[0] = expr(0).reshape(C, _SL, _LN)
+    out = _tier_ladder(x, y, H, W, wh, body)
+    out_ref[0] = out.reshape(C, _SL, _LN)
 
 
 def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
@@ -198,7 +219,6 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
     xy = coords_ref[0].reshape(2, _P)
     x, y = xy[0], xy[1]
     dout = dout_ref[0].reshape(C, _P)                     # (C, P)
-    zero = jnp.asarray(0, jnp.int32)
 
     def grads(windows, r0, c0):
         """(dgx, dgy, per-channel dimg window updates)."""
@@ -246,23 +266,9 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
             ))  # (whh, ww)
         return dgx, dgy, dimg_upd
 
-    def combo_fits(whx, xw):
-        ok = jnp.bool_(True)
-        if whx is not None:
-            ok = jnp.logical_and(ok, _window_start(y, H, whx)[1])
-        if xw is not None:
-            ok = jnp.logical_and(ok, _col_window_start(x, W, xw)[1])
-        return ok
-
     def body(whx, xw):
         def f(_):
-            row0 = zero if whx is None else _window_start(y, H, whx)[0]
-            col0 = zero if xw is None else _col_window_start(x, W, xw)[0]
-            rows = slice(None) if whx is None else pl.ds(row0, whx)
-            cols = (
-                (lambda c: slice(c * W, (c + 1) * W)) if xw is None
-                else (lambda c: pl.ds(c * W + col0, xw))
-            )
+            row0, col0, rows, cols = _window_slices(x, y, H, W, whx, xw)
             wins = [img_ref[0, rows, cols(c)] for c in range(C)]
             dgx, dgy, upds = grads(wins, row0, col0)
             for c, upd in enumerate(upds):
@@ -270,12 +276,7 @@ def _bwd_kernel(coords_ref, img_ref, dout_ref, dimg_ref, dcoords_ref, *,
             return dgx, dgy
         return f
 
-    expr = body(None, None)
-    for whx, xw in reversed(_window_combos(H, W, wh)):
-        def tiered(_, ok=combo_fits(whx, xw), whx=whx, xw=xw, nxt=expr):
-            return jax.lax.cond(ok, body(whx, xw), nxt, 0)
-        expr = tiered
-    dgx, dgy = expr(0)
+    dgx, dgy = _tier_ladder(x, y, H, W, wh, body)
     dcoords_ref[0] = jnp.concatenate([dgx, dgy], axis=0).reshape(2, _SL, _LN)
 
 
@@ -296,22 +297,9 @@ def _sample_core(coords, img_hcw, H, W, C, wh, dot_bf16=False):
     return _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16)
 
 
-def _tiles_to_image(x, Hg, Wg):
-    """Tile layout (B, C, T*_SL, _LN) -> padded image (B, C, hp, wp)."""
-    B, C = x.shape[:2]
-    hp = _round_up(Hg, _TH)
-    wp = _round_up(Wg, _TW)
-    TY, TX = hp // _TH, wp // _TW
-    x = x.reshape(B, C, TY, TX, _TH, _TW)
-    return x.transpose(0, 1, 2, 4, 3, 5).reshape(B, C, hp, wp)
-
-
-def _image_to_tiles(x):
-    """Padded image (B, C, hp, wp) -> tile layout (B, C, T*_SL, _LN)."""
-    B, C, hp, wp = x.shape
-    TY, TX = hp // _TH, wp // _TW
-    x = x.reshape(B, C, TY, _TH, TX, _TW).transpose(0, 1, 2, 4, 3, 5)
-    return x.reshape(B, C, TY * TX * _SL, _LN)
+# shared with the rasterizer: both kernels must agree on the scheme
+_tiles_to_image = tiles_to_image
+_image_to_tiles = image_to_tiles
 
 
 def _sample_fwd_impl(coords, img_hcw, H, W, C, wh, dot_bf16=False):

@@ -40,6 +40,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from im23d_tpu.ops.tile_layout import (
+    BLOCK_LN,
+    BLOCK_SL,
+    TILE_H,
+    TILE_W,
+    image_to_tiles,
+    tiles_to_image,
+)
+
 _CF = 32          # faces per chunk (axis 0 of the in-kernel work arrays)
 # pixel tile: 1024 pixels as a 32x32 square footprint.  An 8x128 tile spans
 # half the image width at 256 squared, so chunk bboxes almost always pass
@@ -49,8 +58,8 @@ _CF = 32          # faces per chunk (axis 0 of the in-kernel work arrays)
 # a (B, C, TY*TX*8, 128) array and converted to/from image layout in XLA
 # (_tiles_to_image / _image_to_tiles); the winner cache never leaves tile
 # layout.
-_TH, _TW = 32, 32
-_SL, _LN = 8, 128  # storage block: 8 sublanes x 128 lanes = one tile
+_TH, _TW = TILE_H, TILE_W
+_SL, _LN = BLOCK_SL, BLOCK_LN  # storage block: one tile = one (8, 128) block
 _R = 128          # plane-tensor lane width (columns, padded to one lane tile)
 _NEG_BIG = -1e9
 
@@ -536,22 +545,9 @@ def _raster_bwd_impl(planes, bboxes, dfeat, dsoft, soft, bz, bc, height,
     )(bboxes, planes, dfeat, dsoft, soft, bz, bc)
 
 
-def _tiles_to_image(x, height, width):
-    """Tile layout (B, C, TY*TX*_SL, _LN) -> padded NCHW (B, C, hp, wp)."""
-    B, C = x.shape[:2]
-    hp = _round_up(height, _TH)
-    wp = _round_up(width, _TW)
-    TY, TX = hp // _TH, wp // _TW
-    x = x.reshape(B, C, TY, TX, _TH, _TW)
-    return x.transpose(0, 1, 2, 4, 3, 5).reshape(B, C, hp, wp)
-
-
-def _image_to_tiles(x):
-    """Padded NCHW (B, C, hp, wp) -> tile layout (B, C, TY*TX*_SL, _LN)."""
-    B, C, hp, wp = x.shape
-    TY, TX = hp // _TH, wp // _TW
-    x = x.reshape(B, C, TY, _TH, TX, _TW).transpose(0, 1, 2, 4, 3, 5)
-    return x.reshape(B, C, TY * TX * _SL, _LN)
+# shared with the sampler: both kernels must agree on the scheme
+_tiles_to_image = tiles_to_image
+_image_to_tiles = image_to_tiles
 
 
 def _rasterize_from_planes(planes, bboxes, height, width, sigma, margin,

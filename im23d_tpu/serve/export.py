@@ -84,8 +84,15 @@ def export_reconstruction_inference(
     res = trainer.cfg.image_resolution
     images = jnp.zeros((batch_size, res, res, 4), jnp.float32)
     params, batch_stats = trainer.params, trainer.batch_stats
+    model = trainer.model
 
+    # apply the model directly rather than via trainer._infer: that jit is
+    # bound to the training mesh's in_shardings, which would bake a
+    # multi-device layout into an artifact meant to run on one device
     def infer(images_):
-        return trainer._infer(params, batch_stats, images_)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, images_,
+            train=False,
+        )
 
     save_artifact(path, infer, (images,), platforms)

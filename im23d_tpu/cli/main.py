@@ -144,6 +144,7 @@ def main(argv=None) -> int:
     if args.save_results or args.export_serving:
         args.evaluate = True
 
+    from im23d_tpu.core.checkpoint import wait_for_async_saves
     from im23d_tpu.core.metrics_logger import MetricsLogger
     from im23d_tpu.data.pseudogt import EvalDataset, gan_batch_iterator
     from im23d_tpu.data.cmr import batch_iterator
@@ -425,8 +426,10 @@ def main(argv=None) -> int:
         # final checkpoint on interrupt (reference main.py:779-783)
         logger.log_text("KeyboardInterrupt: saving final checkpoint")
         trainer.save(tag="latest")
+        wait_for_async_saves()
         return 130
     trainer.save()
+    wait_for_async_saves()
     return 0
 
 

@@ -17,6 +17,7 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from im23d_tpu.core.checkpoint import wait_for_async_saves
     from im23d_tpu.cli.flags import str2bool
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -240,8 +241,10 @@ def main(argv=None) -> int:
         # final checkpoint on interrupt (reference run_reconstruction.py:492-496)
         logger.log_text("KeyboardInterrupt: saving final checkpoint")
         trainer.save(tag="latest")
+        wait_for_async_saves()
         return 130
     trainer.save()
+    wait_for_async_saves()
     return 0
 
 

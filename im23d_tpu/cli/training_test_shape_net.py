@@ -52,6 +52,7 @@ def main(argv=None) -> int:
 
     setup_jax()
 
+    from im23d_tpu.core.checkpoint import wait_for_async_saves
     from im23d_tpu.data.synthetic import SyntheticSilhouettes
     from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
 
@@ -104,8 +105,10 @@ def main(argv=None) -> int:
         # KeyboardInterrupt, main.py:779-783 / run_reconstruction.py:492-496)
         print("KeyboardInterrupt: saving final checkpoint")
         learner.save(tag="latest")
+        wait_for_async_saves()
         return 130
     learner.save()
+    wait_for_async_saves()
     print({k: round(v, 5) for k, v in losses.items()})
     return 0
 

@@ -20,12 +20,41 @@ def _ckpt_dir(workdir: str, step: int) -> str:
     return os.path.join(os.path.abspath(workdir), "checkpoints", f"step_{step}")
 
 
-def save_checkpoint(workdir: str, step: int, tree: Any) -> str:
+_ASYNC_CKPTR: ocp.AsyncCheckpointer | None = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(workdir: str, step: int, tree: Any,
+                    block: bool = True) -> str:
+    """Save a pytree checkpoint.
+
+    ``block=False`` uses orbax's AsyncCheckpointer: the device->host copy
+    happens before return, the disk write proceeds in a background thread
+    while training continues (one outstanding save at a time).  Call
+    ``wait_for_async_saves()`` before process exit or restoring from the
+    same directory.
+    """
     path = _ckpt_dir(workdir, step)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+    else:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # serialize outstanding saves
+        ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
     return path
+
+
+def wait_for_async_saves() -> None:
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def latest_step(workdir: str) -> int | None:
@@ -64,6 +93,7 @@ def resolve_step(workdir: str, step=None):
 
 def restore_checkpoint(workdir: str, step: int, target: Any) -> Any:
     """Restore into the structure of ``target`` (an abstract or concrete tree)."""
+    wait_for_async_saves()  # never read a directory an async save is writing
     path = _ckpt_dir(workdir, step)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target=target)

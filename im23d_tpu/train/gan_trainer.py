@@ -479,7 +479,10 @@ class GANTrainer:
 
         workdir = workdir or self.workdir
         step = self.total_it if tag is None else tag
-        path = save_checkpoint(workdir, step, self._state_tree())
+        # rolling 'latest' saves overlap training (async write thread);
+        # numbered checkpoints block so their directories are always whole
+        path = save_checkpoint(workdir, step, self._state_tree(),
+                               block=tag is None)
         np.savez(
             self._curves_path(workdir, step),
             **{k: np.asarray(v, np.float32) for k, v in self.curves.items()},

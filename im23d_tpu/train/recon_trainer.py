@@ -353,7 +353,7 @@ class ReconTrainer:
         overwrite (reference two-tier save scheme, run_reconstruction.py)."""
         step = self.total_it if tag is None else tag
         return save_checkpoint(workdir or self.workdir, step,
-                               self._state_tree())
+                               self._state_tree(), block=tag is None)
 
     def restore(self, workdir: str | None = None, step: int | None = None):
         from im23d_tpu.core.checkpoint import resolve_step

@@ -245,7 +245,7 @@ class ShapeNetLearner:
             step=int(self.state.step),
         )
         step = int(self.state.step) if tag is None else tag
-        return save_checkpoint(workdir, step, tree)
+        return save_checkpoint(workdir, step, tree, block=tag is None)
 
     def restore(self, workdir: str | None = None, step: int | None = None):
         from im23d_tpu.core.checkpoint import resolve_step

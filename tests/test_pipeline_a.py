@@ -281,3 +281,24 @@ def test_supervised_part_and_loss():
     )
     assert np.isfinite(float(losses["total_loss"]))
     assert aux["projection"].shape == (B * V, cfg.voxel_size, cfg.voxel_size)
+
+
+def test_async_rolling_checkpoint_roundtrip(tmp_path):
+    """tag='latest' saves are async; restore waits for in-flight writes."""
+    import numpy as np
+
+    from im23d_tpu.core.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_async_saves,
+    )
+
+    tree = {"w": jnp.arange(12.0).reshape(3, 4), "step": 7}
+    save_checkpoint(str(tmp_path), "latest", tree, block=False)
+    # immediate restore must see the full write (restore waits internally)
+    out = restore_checkpoint(str(tmp_path), "latest",
+                             {"w": jnp.zeros((3, 4)), "step": 0})
+    np.testing.assert_array_equal(np.asarray(out["w"]),
+                                  np.asarray(tree["w"]))
+    assert int(out["step"]) == 7
+    wait_for_async_saves()

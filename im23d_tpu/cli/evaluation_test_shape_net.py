@@ -50,13 +50,9 @@ def _save_grid(path: str, tiles, ncol: int) -> None:
     import numpy as np
     from PIL import Image
 
-    arr = np.clip(np.asarray(tiles, np.float32), 0.0, 1.0)
-    n, h, w = arr.shape
-    nrow = -(-n // ncol)
-    grid = np.zeros((nrow * h, ncol * w), np.float32)
-    for i in range(n):
-        r, c = divmod(i, ncol)
-        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = arr[i]
+    from im23d_tpu.core.metrics_logger import tile_grid
+
+    grid = tile_grid(tiles, ncol)[..., 0]
     Image.fromarray((grid * 255).astype(np.uint8)).save(path)
 
 

@@ -232,16 +232,18 @@ def main(argv=None) -> int:
         elif args.which_epoch == "latest" or not args.evaluate:
             trainer.restore()
 
+    if (args.export_serving or args.save_results) and args.which_epoch == "best":
+        # the 'best' sweep (FID over all numbered checkpoints) runs in the
+        # evaluate path below; exporting here would serialize the unrestored
+        # init instead of a trained generator
+        flag = "--export_serving" if args.export_serving else "--save_results"
+        raise SystemExit(
+            f"{flag} requires --which_epoch latest or a numeric epoch "
+            "(run --evaluate --which_epoch best first to identify the "
+            "best epoch)"
+        )
+
     if args.export_serving:
-        if args.which_epoch == "best":
-            # the 'best' sweep (FID over all numbered checkpoints) runs in
-            # the evaluate path below; exporting here would serialize the
-            # unrestored init instead of a trained generator
-            raise SystemExit(
-                "--export_serving requires --which_epoch latest or a "
-                "numeric epoch (run --evaluate --which_epoch best first "
-                "to identify the best epoch)"
-            )
         from im23d_tpu.serve import export_gan_inference
 
         export_gan_inference(
@@ -312,12 +314,15 @@ def main(argv=None) -> int:
         if args.which_epoch == "best":
             # sweep all numbered checkpoints for the lowest combined FID
             # (reference main.py:787-829)
-            from im23d_tpu.core.checkpoint import latest_step
+            import re
 
             root = os.path.join(os.path.abspath(workdir), "checkpoints")
             steps = sorted(
-                int(n.split("_")[1]) for n in os.listdir(root)
-                if n.startswith("step_")
+                int(m.group(1))
+                for m in (
+                    re.fullmatch(r"step_(\d+)", n) for n in os.listdir(root)
+                )
+                if m  # skip the rolling "step_latest" tier
             )
             best = (None, float("inf"))
             for step in steps:

@@ -17,7 +17,6 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
-    from im23d_tpu.core.checkpoint import wait_for_async_saves
     from im23d_tpu.cli.flags import str2bool
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -77,6 +76,7 @@ def main(argv=None) -> int:
 
     setup_jax()
 
+    from im23d_tpu.core.checkpoint import wait_for_async_saves
     from im23d_tpu.core.metrics_logger import MetricsLogger
     from im23d_tpu.data.cmr import CUBDataset, P3dDataset, batch_iterator
     from im23d_tpu.geometry.mesh_template import MeshTemplate

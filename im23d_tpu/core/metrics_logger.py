@@ -15,6 +15,28 @@ import time
 from typing import Mapping
 
 
+def tile_grid(images, ncol: int, fill: float = 0.0):
+    """Tile (N, H, W[, C]) floats in [0, 1] into one (H', W', C) grid array.
+
+    The single grid-layout implementation behind every image export
+    (``MetricsLogger.log_images``, ``train/gan_eval.export_results``,
+    ``cli/evaluation_test_shape_net``).  ``fill`` paints the remainder
+    cells of a non-full last row.
+    """
+    import numpy as np
+
+    arr = np.clip(np.asarray(images, np.float32), 0.0, 1.0)
+    if arr.ndim == 3:
+        arr = arr[..., None]
+    n, h, w, c = arr.shape
+    nrows = -(-n // ncol)
+    grid = np.full((nrows * h, ncol * w, c), fill, np.float32)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+    return grid
+
+
 class MetricsLogger:
     def __init__(self, workdir: str, name: str = "train",
                  tensorboard: bool = True):
@@ -64,18 +86,12 @@ class MetricsLogger:
         """
         import numpy as np
 
-        arr = np.clip(np.asarray(images, np.float32), 0.0, 1.0)
+        arr = np.asarray(images, np.float32)
         if arr.ndim == 3:
             arr = arr[..., None]
         if arr.shape[-1] == 1:
             arr = np.repeat(arr, 3, axis=-1)
-        n, h, w, c = arr.shape
-        ncol = nrow
-        nrows = -(-n // ncol)
-        grid = np.zeros((nrows * h, ncol * w, c), np.float32)
-        for i in range(n):
-            r, col = divmod(i, ncol)
-            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+        grid = tile_grid(arr, nrow)
         from PIL import Image
 
         img_dir = os.path.join(self.dir, "images")

@@ -78,8 +78,9 @@ def build_caption_cache(cache_dir: str, text_dir: str,
         txt = os.path.join(text_dir, os.path.splitext(p)[0] + ".txt")
         caps = read_caption_file(txt) if os.path.exists(txt) else []
         caps = caps[:embeddings_num]
+        n_real = len(caps)  # cycle the real captions when padding to E
         while len(caps) < embeddings_num:
-            caps.append(caps[len(caps) % max(len(caps), 1)] if caps else [])
+            caps.append(caps[len(caps) % n_real] if n_real else [])
         per_image.append(caps)
 
     vocab = build_vocab(per_image)

@@ -80,12 +80,20 @@ class CMRBaseDataset:
         self.jitter_frac = 0.0
         self.padding_frac = 0.05
         self.is_train = is_train
-        self._rng = np.random.RandomState(seed)
-        # forward_img runs on prefetch threads; RandomState is not
-        # thread-safe, so augmentation draws take this lock
-        import threading
+        # forward_img runs on prefetch threads, so augmentation draws are a
+        # pure function of (seed, epoch, index): thread completion order
+        # cannot perturb seeded reproducibility (set_epoch advances it)
+        self._seed = seed
+        self._epoch = 0
 
-        self._rng_lock = threading.Lock()
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item augmentation streams (one call per epoch)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self._seed, self._epoch, int(index)])
+        )
 
     def get_paths(self) -> list[str]:
         return [
@@ -114,12 +122,12 @@ class CMRBaseDataset:
         bbox = np.array(
             [data.bbox.x1, data.bbox.y1, data.bbox.x2, data.bbox.y2], float
         ) - 1
-        with self._rng_lock:
-            bbox = peturb_bbox(
-                bbox, pf=self.padding_frac,
-                jf=self.jitter_frac if self.is_train else 0.0, rng=self._rng,
-            )
-            mirrored = self.is_train and self._rng.randint(2) == 1
+        rng = self._item_rng(index)
+        bbox = peturb_bbox(
+            bbox, pf=self.padding_frac,
+            jf=self.jitter_frac if self.is_train else 0.0, rng=rng,
+        )
+        mirrored = self.is_train and rng.integers(2) == 1
         bbox = square_bbox(bbox)
 
         img = crop(img, bbox, bgval=1)
@@ -240,6 +248,9 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     from im23d_tpu.data.prefetch import prefetched_batches
 
     rng = np.random.RandomState(seed)
+    set_epoch = getattr(dataset, "set_epoch", None)
+    if set_epoch is not None:
+        set_epoch(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)

@@ -42,12 +42,11 @@ class PseudoGTDataset:
         self.evaluate = evaluate
         self.conditional_class = conditional_class
         self.conditional_text = conditional_text
-        self._rng = np.random.RandomState(seed)
-        # __getitem__ runs on prefetch threads; RandomState is not
-        # thread-safe, so augmentation draws take this lock
-        import threading
-
-        self._rng_lock = threading.Lock()
+        # __getitem__ runs on prefetch threads, so augmentation draws are a
+        # pure function of (seed, epoch, idx): thread completion order cannot
+        # perturb seeded reproducibility (set_epoch advances the stream)
+        self._seed = seed
+        self._epoch = 0
 
         self.caption_tokens = None
         self.n_words = 0
@@ -130,15 +129,24 @@ class PseudoGTDataset:
             "mesh": to_nhwc(raw["mesh"]),
         }
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item augmentation streams (one call per epoch)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self._seed, self._epoch, int(idx)])
+        )
+
     def __getitem__(self, idx: int) -> dict:
         item = self.load_pseudo_ground_truth(idx)
         del item["image"]
-        with self._rng_lock:
-            mirror = self.augment and not self.evaluate and self._rng.randint(2) == 1
-            e = (
-                self._rng.randint(self.caption_tokens.shape[1])
-                if self.caption_tokens is not None else 0
-            )
+        rng = self._item_rng(idx)
+        mirror = self.augment and not self.evaluate and rng.integers(2) == 1
+        e = (
+            int(rng.integers(self.caption_tokens.shape[1]))
+            if self.caption_tokens is not None else 0
+        )
         if mirror:
             item = {k: mirror_tex_nhwc(v) for k, v in item.items()}
         if self.conditional_class:
@@ -287,6 +295,9 @@ def gan_batch_iterator(dataset: PseudoGTDataset, batch_size: int,
     from im23d_tpu.data.prefetch import prefetched_batches
 
     rng = np.random.RandomState(seed)
+    set_epoch = getattr(dataset, "set_epoch", None)
+    if set_epoch is not None:
+        set_epoch(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)

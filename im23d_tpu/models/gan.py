@@ -78,10 +78,6 @@ def leaky_relu(x):
     return nn.leaky_relu(x, 0.2)
 
 
-def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    return nn.avg_pool(x, (k, k), strides=(k, k))
-
-
 def avg_pool_box(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Box-pool a (B, H, W, C) map as two H/W box-matrix contractions.
 

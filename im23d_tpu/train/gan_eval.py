@@ -49,14 +49,17 @@ class FIDEvaluator:
 
     def __init__(self, gan_trainer, template, evaluation_res: int = 299,
                  inception_variables=None):
-        from im23d_tpu.metrics.inception import init_inception
+        from im23d_tpu.metrics.inception import InceptionV3Features, init_inception
 
         self.trainer = gan_trainer
         self.template = template
         self.res = evaluation_res
-        self.model, self.variables = init_inception()
         if inception_variables is not None:
+            # skip the ~24M-param init when pretrained weights are supplied
+            self.model = InceptionV3Features()
             self.variables = inception_variables
+        else:
+            self.model, self.variables = init_inception()
         self._render = jax.jit(
             lambda mesh_map, tex, s, t, r: render_generated(
                 template, evaluation_res, mesh_map, tex, s, t, r
@@ -159,13 +162,9 @@ def export_results(gan_trainer, template, out_dir: str, n_samples: int = 16,
         H = img.shape[1] // 2 * 2
         img = img[:, :H, :H]
         img = img.reshape(img.shape[0], H // 2, 2, H // 2, 2, -1).mean((2, 4))
-        n, h, w, ch = img.shape
-        ncol = min(8, n)
-        nrows = -(-n // ncol)
-        grid = np.ones((nrows * h, ncol * w, ch), np.float32)
-        for i in range(n):
-            r, col = divmod(i, ncol)
-            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img[i]
+        from im23d_tpu.core.metrics_logger import tile_grid
+
+        grid = tile_grid(img, ncol=min(8, img.shape[0]), fill=1.0)
         from PIL import Image
 
         grid_path = grid_path or (out_dir.rstrip("/\\") + ".png")

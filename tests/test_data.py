@@ -111,6 +111,33 @@ def test_cmr_eval_mode_no_mirror(tmp_path):
         assert int(ds[i]["idx"]) == i
 
 
+def test_threaded_augmentation_is_seed_reproducible(tmp_path):
+    """Augmentation draws are (seed, epoch, index)-pure: a 4-worker epoch
+    equals a serial epoch bit-for-bit even with bbox jitter + mirror on,
+    and a different epoch draws differently."""
+    ds = _make_fake_cmr(str(tmp_path))
+    ds.jitter_frac = 0.05  # enable the jitter draws
+
+    def epoch(seed, workers):
+        return list(batch_iterator(ds, 2, seed=seed, num_workers=workers))
+
+    serial = epoch(3, 1)
+    threaded = epoch(3, 4)
+    for a, b in zip(serial, threaded):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # distinct epochs reshuffle AND re-draw augmentation
+    other = epoch(4, 4)
+    assert any(
+        not np.array_equal(a["image"], b["image"])
+        for a, b in zip(serial, other)
+    )
+    # same epoch re-run is identical (set_epoch leaves no hidden state)
+    again = epoch(3, 4)
+    for a, b in zip(serial, again):
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
 def test_batch_iterator(tmp_path):
     ds = _make_fake_cmr(str(tmp_path))
     ds.is_train = False

@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "pod (or set IM23D_MULTIHOST=1); the mesh then "
                         "spans every chip in the slice and --batch_size "
                         "is per-process")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of a window of "
+                        "steady-state steps to this directory")
     return p
 
 
@@ -205,6 +208,12 @@ def main(argv=None) -> int:
                             keys=train_keys))
     )
 
+    profiler = None
+    if args.profile_dir:
+        from im23d_tpu.core.jax_setup import StepProfiler
+
+        profiler = StepProfiler(args.profile_dir)
+
     try:
         for epoch in range(trainer.epoch, args.epochs):
             trainer.epoch = epoch
@@ -213,6 +222,8 @@ def main(argv=None) -> int:
                 batch_iterator(train_ds, args.batch_size, seed=epoch,
                                keys=train_keys, num_workers=args.num_workers)
             ):
+                if profiler is not None:
+                    profiler.tick()
                 losses = trainer.train_step(batch)
                 if it_in_epoch % 10 == 0:
                     logger.log(trainer.total_it,
@@ -243,6 +254,9 @@ def main(argv=None) -> int:
         trainer.save(tag="latest")
         wait_for_async_saves()
         return 130
+    finally:
+        if profiler is not None:
+            profiler.close()
     trainer.save()
     wait_for_async_saves()
     return 0

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "pod (or set IM23D_MULTIHOST=1); the mesh then "
                         "spans every chip in the slice and --batch_size "
                         "is per-process")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of a window of "
+                        "steady-state steps to this directory")
     return p
 
 
@@ -97,6 +100,13 @@ def main(argv=None) -> int:
         print({k: round(v, 5) for k, v in means.items()})
         return 0
 
+    profiler = None
+    if args.profile_dir:
+        from im23d_tpu.core.jax_setup import StepProfiler
+
+        profiler = StepProfiler(args.profile_dir)
+        train_iter = profiler.wrap(train_iter)
+
     try:
         losses = learner.fit(train_iter, num_steps=cfg.total_steps,
                              valid_batches=valid_batches)
@@ -107,6 +117,9 @@ def main(argv=None) -> int:
         learner.save(tag="latest")
         wait_for_async_saves()
         return 130
+    finally:
+        if profiler is not None:
+            profiler.close()
     learner.save()
     wait_for_async_saves()
     print({k: round(v, 5) for k, v in losses.items()})

@@ -33,3 +33,47 @@ def trace_profile(log_dir: str):
     import jax
 
     return jax.profiler.trace(log_dir)
+
+
+class StepProfiler:
+    """Trace a window of training steps (``--profile_dir`` on the train CLIs).
+
+    ``tick()`` once per iteration: the trace starts at step ``start`` (past
+    the compile/warm-up steps, which would otherwise dwarf the steady-state
+    timeline) and stops after ``steps`` iterations.  ``close()`` is safe to
+    call whether or not the window completed.
+    """
+
+    def __init__(self, log_dir: str, start: int = 12, steps: int = 5):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop = start + steps
+        self._it = 0
+        self._active = False
+
+    def tick(self) -> None:
+        import jax
+
+        if self._it == self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._it == self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"wrote profiler trace (steps {self.start}-{self.stop}) "
+                  f"to {self.log_dir}")
+        self._it += 1
+
+    def wrap(self, iterator):
+        """Yield from ``iterator``, ticking once per item (for loops that
+        live behind an API boundary, e.g. ``ShapeNetLearner.fit``)."""
+        for item in iterator:
+            self.tick()
+            yield item
+
+    def close(self) -> None:
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False

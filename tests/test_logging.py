@@ -35,3 +35,32 @@ def test_metrics_logger_image_grid(tmp_path):
 
     grid = np.asarray(Image.open(tmp_path / "images" / files[0]))
     assert grid.shape == (32, 48, 3)  # 2 rows x 3 cols of 16x16
+
+
+def test_step_profiler_captures_window(tmp_path):
+    """--profile_dir plumbing: a trace of steps [start, start+steps) is
+    written and close() is idempotent."""
+    import jax
+    import jax.numpy as jnp
+
+    from im23d_tpu.core.jax_setup import StepProfiler
+
+    prof = StepProfiler(str(tmp_path), start=2, steps=2)
+    f = jax.jit(lambda x: x * 2.0)
+    for wrapped in prof.wrap(range(6)):
+        f(jnp.float32(wrapped)).block_until_ready()
+    prof.close()  # window already closed: must be a no-op
+    # a profile directory with at least one trace file appeared
+    found = [
+        os.path.join(r, f_) for r, _, fs in os.walk(tmp_path) for f_ in fs
+    ]
+    assert found, "profiler trace wrote no files"
+
+
+def test_step_profiler_close_mid_window(tmp_path):
+    from im23d_tpu.core.jax_setup import StepProfiler
+
+    prof = StepProfiler(str(tmp_path), start=0, steps=100)
+    prof.tick()  # starts the trace
+    prof.close()  # interrupt path: must stop it cleanly
+    prof.close()

@@ -294,7 +294,10 @@ def main(argv=None) -> int:
     eval_ds = EvalDataset(ds)
 
     def eval_batches():
-        return batch_iterator(eval_ds, args.batch_size, shuffle=False)
+        # drop_last=False: FID scores every dataset image — the evaluator
+        # pads the tail batch to the compiled shape and slices activations
+        return batch_iterator(eval_ds, args.batch_size, shuffle=False,
+                              drop_last=False)
 
     if args.evaluate:
         cache_dir = args.cache_dir or os.path.join("cache", args.dataset)

@@ -191,8 +191,11 @@ def main(argv=None) -> int:
         return 0
 
     def val_batches():
+        # drop_last=False: the evaluator pads the tail batch and weighs the
+        # pads 0, so every validation image scores (reference eval keeps
+        # the tail too)
         return batch_iterator(val_ds, args.batch_size, shuffle=False,
-                              keys=train_keys)
+                              drop_last=False, keys=train_keys)
 
     if args.evaluate:
         means = trainer.evaluate(val_batches())

@@ -79,24 +79,38 @@ class FIDEvaluator:
             acts["texture_only"] = []
             acts["mesh_only"] = []
         i = 0
+        full_n = None
         for batch in eval_batches:
             n = batch["rotation"].shape[0]
+            if full_n is None:
+                full_n = n
+            elif n < full_n:
+                # pad the tail batch to the compiled shape and slice the
+                # activations back to n below — every dataset image scores
+                # (the reference pads to a GPU multiple, main.py:256-281)
+                # without compiling a second executable for the tail shape
+                batch = {
+                    k: np.concatenate([v, np.repeat(v[:1], full_n - n, 0)])
+                    for k, v in batch.items()
+                }
             rng_i = jax.random.fold_in(rng, i)
-            z = self.trainer.truncation_sample(rng_i, n, truncation_sigma)
+            z = self.trainer.truncation_sample(
+                rng_i, batch["rotation"].shape[0], truncation_sigma
+            )
             c = jnp.asarray(batch["c"]) if "c" in batch else None
             tex, mesh_map = self.trainer.generate(z, c)
             s = jnp.asarray(batch["scale"]).reshape(-1)
             t = jnp.asarray(batch["translation"])
             r = jnp.asarray(batch["rotation"])
             img, _ = self._render(mesh_map, tex, s, t, r)
-            acts["combined"].append(np.asarray(self._act(img)))
+            acts["combined"].append(np.asarray(self._act(img))[:n])
             if variants and "texture" in batch and "mesh" in batch:
                 real_tex = jnp.asarray(batch["texture"])
                 real_mesh = jnp.asarray(batch["mesh"])
                 img_t, _ = self._render(real_mesh, tex, s, t, r)
-                acts["texture_only"].append(np.asarray(self._act(img_t)))
+                acts["texture_only"].append(np.asarray(self._act(img_t))[:n])
                 img_m, _ = self._render(mesh_map, real_tex, s, t, r)
-                acts["mesh_only"].append(np.asarray(self._act(img_m)))
+                acts["mesh_only"].append(np.asarray(self._act(img_m))[:n])
             i += 1
         return {k: np.concatenate(v, axis=0) for k, v in acts.items() if v}
 

@@ -233,7 +233,11 @@ class ReconTrainer:
             donate_argnums=(0, 1, 2, 3, 4),
         )
 
-        def eval_step(params, batch_stats, dp_params, batch):
+        def eval_step(params, batch_stats, dp_params, batch, w):
+            # w (B,): per-sample validity weights — tail batches of the val
+            # set are padded up to the compiled batch shape (static shapes
+            # keep one executable; the reference keeps the tail too, its
+            # DataLoader does not drop_last on eval)
             tex, mesh_map = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 batch["image"], train=False,
@@ -242,15 +246,29 @@ class ReconTrainer:
                 mesh_map, tex, batch, dp_params, False
             )
             x_fake = jnp.concatenate([image, alpha], axis=-1)
-            recon = self._recon_loss(x_fake, batch["image"])
-            flat = flatness_loss(
-                self.template.compute_normals(raw_vtx), self.template.ff_j
-            )
-            miou = mean_iou(x_fake[..., 3], batch["image"][..., 3])
+            wsum = jnp.maximum(jnp.sum(w), 1.0)
+            wmean = lambda per_sample: jnp.sum(per_sample * w) / wsum
+            err = x_fake - batch["image"]
+            recon = wmean(jnp.mean(
+                jnp.abs(err) if self.cfg.loss == "l1" else err ** 2,
+                axis=(1, 2, 3),
+            ))
+            normals = self.template.compute_normals(raw_vtx)
+            F = normals.shape[1]
+            flat_ps = 0.0
+            for i in range(3):
+                cos = jnp.sum(normals * normals[:, self.template.ff_j[:, i]], -1)
+                flat_ps = flat_ps + jnp.mean((cos - 1.0) ** 2, axis=-1)
+            flat = wmean(flat_ps * (F / 2.0))
+            p = x_fake[..., 3] > 0.5
+            r = batch["image"][..., 3] > 0.5
+            inter = jnp.sum((p & r).astype(jnp.float32), axis=(1, 2))
+            union = jnp.maximum(jnp.sum((p | r).astype(jnp.float32), (1, 2)), 1.0)
+            miou = wmean(inter / union)
             return dict(recon_loss=recon, flat_loss=flat, iou=miou), x_fake
 
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(repl, repl, repl, batch_shd)
+            eval_step, in_shardings=(repl, repl, repl, batch_shd, batch_shd)
         )
 
         def infer(params, batch_stats, images):
@@ -279,9 +297,15 @@ class ReconTrainer:
         self.total_it += 1
         return losses
 
-    def eval_step(self, batch: dict):
+    def eval_step(self, batch: dict, w=None):
+        import numpy as np
+
+        if w is None:
+            w = np.ones((batch["image"].shape[0],), np.float32)
         batch = shard_batch_pytree(batch, self.mesh)
-        return self._eval_step(self.params, self.batch_stats, self.dp_params, batch)
+        w = shard_batch_pytree(w, self.mesh)
+        return self._eval_step(self.params, self.batch_stats, self.dp_params,
+                               batch, w)
 
     def predict(self, images):
         """images (B,H,W,4) -> (texture, mesh_map)."""
@@ -329,11 +353,25 @@ class ReconTrainer:
         return np.concatenate(rows, axis=0)
 
     def evaluate(self, batches) -> dict:
+        """Weighted means over ALL validation images: a tail batch smaller
+        than the compiled batch shape is padded (pads weigh 0), so nothing
+        is dropped and no second executable is compiled."""
+        import numpy as np
+
         totals: dict[str, float] = {}
         n = 0
+        B = self.cfg.batch_size
         for batch in batches:
-            losses, _ = self.eval_step(batch)
             bs = batch["image"].shape[0]
+            w = np.ones((bs,), np.float32)
+            if 0 < bs % B:
+                pad = B - bs % B
+                batch = {
+                    k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                    for k, v in batch.items()
+                }
+                w = np.concatenate([w, np.zeros((pad,), np.float32)])
+            losses, _ = self.eval_step(batch, w)
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * bs
             n += bs

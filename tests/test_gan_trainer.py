@@ -112,3 +112,25 @@ def test_gan_text_conditional_steps():
         caption_tokens=batch["caption"],
     )
     assert tex.shape == (2, 128, 128, 3)
+
+
+@pytest.mark.slow
+def test_fid_activations_score_tail_batch(trainer):
+    """activations_for_batches pads a tail batch to the compiled shape and
+    slices back: every dataset image contributes exactly one activation."""
+    from im23d_tpu.train.gan_eval import FIDEvaluator
+
+    evaluator = FIDEvaluator(trainer, trainer.template, evaluation_res=75)
+    rng = np.random.RandomState(0)
+
+    def pose_batch(n):
+        rot = rng.randn(n, 4).astype(np.float32)
+        rot /= np.linalg.norm(rot, axis=-1, keepdims=True)
+        return dict(
+            scale=np.full((n, 1), 0.7, np.float32),
+            translation=np.zeros((n, 3), np.float32),
+            rotation=rot,
+        )
+
+    acts = evaluator.activations_for_batches([pose_batch(2), pose_batch(1)])
+    assert acts["combined"].shape[0] == 3

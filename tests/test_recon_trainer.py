@@ -131,3 +131,22 @@ def test_render_multiview_grid(trainer):
     assert grid.shape == (2 * 64, 4 * 64, 3)
     assert np.isfinite(grid).all()
     assert grid.max() <= 1.0 and grid.min() >= 0.0
+
+
+@pytest.mark.slow
+def test_evaluate_keeps_tail_batch_exact(trainer):
+    """A val set not divisible by batch_size scores every image: the padded
+    tail (weight-0 pads) gives the same means as an unpadded split."""
+    full = recon_batch(n=4, seed=5)
+
+    def split(sizes):
+        out, start = [], 0
+        for s in sizes:
+            out.append({k: v[start:start + s] for k, v in full.items()})
+            start += s
+        return out
+
+    a = trainer.evaluate(split([2, 2]))       # two full batches
+    b = trainer.evaluate(split([2, 1, 1]))    # two tail batches padded
+    for k in a:
+        np.testing.assert_allclose(b[k], a[k], rtol=2e-5, atol=1e-6)

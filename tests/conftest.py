@@ -25,3 +25,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA CPU
+# compiles of the big trainer graphs (GAN init ~35 s, recon step ~13 s);
+# repeat runs hit the cache and skip them.  Override the location with
+# IM23D_TEST_CACHE=/path, or disable with IM23D_TEST_CACHE=0.
+_cache = os.environ.get("IM23D_TEST_CACHE", "")
+if _cache != "0":
+    if not _cache:
+        _cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # read-only checkout etc.: run without the cache
+

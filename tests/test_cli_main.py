@@ -154,3 +154,77 @@ def test_gan_cli_interrupt_saves_checkpoint(tmp_path, monkeypatch):
     assert rc == 130
     # interrupt left a restorable rolling checkpoint
     assert (tmp_path / "gan_weights" / "ti" / "checkpoints" / "step_latest").is_dir()
+
+
+def make_synthetic_p3d_cache(root, n_imagenet=4, n_pascal=2, res=TEX_RES):
+    """Reference-format P3D cache: poses_metadata over imagenet+pascal paths
+    (the dataset must filter to car_imagenet), pseudo-gt for every image,
+    FID stats, and the shape/color labels csv."""
+    rng = np.random.RandomState(1)
+    cache = os.path.join(root, "cache", "p3d")
+    pg = os.path.join(cache, f"pseudogt_{res}x{res}")
+    os.makedirs(pg, exist_ok=True)
+
+    n = n_imagenet + n_pascal
+    paths = [f"car_imagenet/img_{i}.jpg" for i in range(n_imagenet)]
+    paths += [f"car_pascal/img_{i}.jpg" for i in range(n_pascal)]
+    rot = rng.randn(n, 4).astype(np.float32)
+    rot /= np.linalg.norm(rot, axis=-1, keepdims=True)
+    np.savez(
+        os.path.join(cache, "poses_metadata.npz"),
+        data=dict(
+            path=paths,
+            scale=np.full((n, 1), 0.7, np.float32),
+            translation=np.zeros((n, 3), np.float32),
+            rotation=rot,
+        ),
+    )
+    for i in range(n):
+        np.savez(os.path.join(pg, f"{i}.npz"), data=dict(
+            image=rng.rand(4, res, res).astype(np.float16) * 2 - 1,
+            texture=rng.rand(3, res, res).astype(np.float16) * 2 - 1,
+            texture_alpha=(rng.rand(1, res, res) > 0.3).astype(np.float16),
+            mesh=(rng.randn(3, 32, 32) * 0.01).astype(np.float16),
+        ))
+    s = np.tril(rng.rand(2048, 2048).astype(np.float32) * 1e-3)
+    np.savez(
+        os.path.join(cache, "precomputed_fid_299x299_train.npz"),
+        stats_m=rng.rand(2048).astype(np.float32),
+        stats_s=s, num_images=n, resolution=299,
+    )
+
+    labels_dir = os.path.join(root, "datasets", "p3d")
+    os.makedirs(labels_dir, exist_ok=True)
+    shapes = ["sedan", "suv", "sport"]
+    colors = ["red", "blue", "white", "black"]
+    with open(os.path.join(labels_dir, "p3d_labels.csv"), "w") as fh:
+        fh.write("filename,color1,color2,shape,notes\n")
+        for i in range(n_imagenet):
+            fh.write(f"img_{i}.jpg,{colors[i % 4]},{colors[(i + 1) % 4]},"
+                     f"{shapes[i % 3]},x\n")
+    return cache
+
+
+@pytest.mark.slow
+def test_gan_cli_p3d_color_conditional(tmp_path, monkeypatch):
+    """P3D path end-to-end: car_imagenet filtering, labels csv, shape+color
+    conditioning through training and conditional --save_results."""
+    cache = make_synthetic_p3d_cache(str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+
+    args = [
+        "--dataset", "p3d", "--conditional_class", "--conditional_color",
+        "--texture_resolution", str(TEX_RES), "--batch_size", "4",
+        "--num_discriminators", "2", "--compute_dtype", "float32",
+        "--name", "p3d_t", "--cache_dir", cache,
+    ]
+    rc = main(args + ["--epochs", "1", "--save_freq", "1",
+                      "--checkpoint_freq", "1", "--evaluate_freq", "5"])
+    assert rc == 0
+    workdir = tmp_path / "gan_weights" / "p3d_t"
+    assert "g_loss" in (workdir / "metrics_gan.jsonl").read_text()
+
+    rc = main(args + ["--save_results"])
+    assert rc == 0
+    out = tmp_path / "results" / "p3d_t"
+    assert len([f for f in os.listdir(out) if f.endswith(".obj")]) == 4

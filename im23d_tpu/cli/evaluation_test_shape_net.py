@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap on valid-split models scored for Chamfer/IoU")
     p.add_argument("--out_dir", type=str, default=None,
                    help="save projection grids / loss-curve plots here")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override the per-category batch size")
+    from im23d_tpu.cli.flags import add_shapenet_overrides
+
+    add_shapenet_overrides(p)
     return p
 
 
@@ -143,7 +148,12 @@ def main(argv=None) -> int:
     from im23d_tpu.metrics.iou import iou_3d
     from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
 
+    from im23d_tpu.cli.flags import apply_shapenet_overrides
+
     cfg = getattr(ShapeNetConfig, args.category)()
+    if args.batch_size is not None:
+        cfg = ShapeNetConfig(**{**cfg.__dict__, "batch_size": args.batch_size})
+    cfg = apply_shapenet_overrides(cfg, args)
     learner = ShapeNetLearner(cfg, workdir=args.workdir)
     learner.restore(step=args.step)
     print(f"restored step {int(learner.state.step)}")
@@ -257,8 +267,11 @@ def main(argv=None) -> int:
             import json
 
             recs = [json.loads(line) for line in open(curves_path)]
-            keys = [k for k in ("total_loss", "projection_loss",
-                                "student_loss") if any(k in r for r in recs)]
+            keys = [
+                k for base in ("total_loss", "projection_loss", "student_loss")
+                for k in (base, f"valid/{base}")
+                if any(k in r for r in recs)
+            ]
             try:
                 import matplotlib
 
@@ -271,7 +284,8 @@ def main(argv=None) -> int:
                     ax.plot(*zip(*pts), label=k)
                 ax.set_xlabel("step")
                 ax.set_yscale("log")
-                ax.legend()
+                if keys:
+                    ax.legend()
                 fig.savefig(os.path.join(args.out_dir, "loss_curves.png"),
                             dpi=120, bbox_inches="tight")
                 plt.close(fig)

@@ -23,3 +23,27 @@ def str2bool(value) -> bool:
     if v in _FALSE:
         return False
     raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
+
+
+_SHAPENET_OVERRIDES = (
+    "image_size", "voxel_size", "num_points", "num_views", "num_candidates",
+)
+
+
+def add_shapenet_overrides(p: argparse.ArgumentParser) -> None:
+    """Optional per-category config overrides shared by the ShapeNet train
+    and eval CLIs (both sides must agree for checkpoints to restore)."""
+    for flag in _SHAPENET_OVERRIDES:
+        p.add_argument(f"--{flag}", type=int, default=None,
+                       help="override the per-category config value")
+
+
+def apply_shapenet_overrides(cfg, args):
+    """Return cfg with any non-None override flags applied."""
+    overrides = {
+        k: getattr(args, k) for k in _SHAPENET_OVERRIDES
+        if getattr(args, k, None) is not None
+    }
+    if overrides:
+        cfg = type(cfg)(**{**cfg.__dict__, **overrides})
+    return cfg

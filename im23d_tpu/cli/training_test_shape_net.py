@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a window of "
                         "steady-state steps to this directory")
+    from im23d_tpu.cli.flags import add_shapenet_overrides
+
+    add_shapenet_overrides(p)
     return p
 
 
@@ -59,6 +62,8 @@ def main(argv=None) -> int:
     from im23d_tpu.data.synthetic import SyntheticSilhouettes
     from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
 
+    from im23d_tpu.cli.flags import apply_shapenet_overrides
+
     cfg = getattr(ShapeNetConfig, args.category)()
     overrides = {}
     if args.steps is not None:
@@ -69,6 +74,7 @@ def main(argv=None) -> int:
         overrides["compute_dtype"] = args.compute_dtype
     if overrides:
         cfg = ShapeNetConfig(**{**cfg.__dict__, **overrides})
+    cfg = apply_shapenet_overrides(cfg, args)
 
     mesh = None
     if args.multihost or os.environ.get("IM23D_MULTIHOST") == "1":

@@ -63,8 +63,11 @@ class SyntheticSilhouettes:
         self._rng = np.random.RandomState(seed)
         # ground-truth rendering is host-side data generation: pin it to the
         # CPU backend — on a remote TPU the XLA-scatter splat plus the RPC
-        # round trip costs seconds per batch and starves the train loop
-        cpu = jax.devices("cpu")[0]
+        # round trip costs seconds per batch and starves the train loop.
+        # local_devices, not devices: under multi-process (jax.distributed)
+        # global device 0 belongs to process 0 and is non-addressable
+        # elsewhere — each process generates data on its own CPU device.
+        cpu = jax.local_devices(backend="cpu")[0]
 
         def render(pc, q):
             # kernel 9 covers +-4.5 cells: exact to ~1e-4 at sigma <= 1.2,

@@ -5,7 +5,7 @@ via jax.distributed, then runs one ShapeNet training step on its LOCAL
 half of the global batch.  Prints the resulting loss so the parent can
 assert cross-process agreement.
 
-Usage: python multihost_worker.py <coordinator> <num_processes> <process_id>
+Usage: python multihost_worker.py <coordinator> <num_processes> <process_id> [shapenet|gan]
 """
 
 import os
@@ -16,6 +16,7 @@ def main() -> int:
     coordinator, num_processes, process_id = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     )
+    model = sys.argv[4] if len(sys.argv) > 4 else "shapenet"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=2"
@@ -39,6 +40,9 @@ def main() -> int:
     assert mesh.devices.size == 2 * num_processes
 
     import numpy as np
+
+    if model == "gan":
+        return main_gan(mesh, num_processes, process_id)
 
     from im23d_tpu.data.synthetic import SyntheticSilhouettes
     from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
@@ -68,6 +72,40 @@ def main() -> int:
     local = {k: shard(v) for k, v in batch.items()}
     losses = learner.train_step(local)
     print(f"MULTIHOST_LOSS {float(losses['total_loss']):.6f}", flush=True)
+    return 0
+
+
+def main_gan(mesh, num_processes: int, process_id: int) -> int:
+    """One G step + one D step of the texture/mesh GAN over the global
+    mesh: BatchNorm batch statistics become global across processes
+    (the SPMD replacement for the reference's sync_batchnorm)."""
+    import numpy as np
+
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.models.gan import GANConfig
+    from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    global_batch = 4
+    trainer = GANTrainer(
+        GANTrainConfig(
+            model=GANConfig(texture_resolution=128, mesh_resolution=32),
+            batch_size=global_batch,
+        ),
+        template=MeshTemplate(segments=8, rings=4),
+        mesh=mesh,
+    )
+    rng = np.random.RandomState(0)  # identical global data on all processes
+    per = global_batch // num_processes
+    sl = slice(process_id * per, (process_id + 1) * per)
+    batch = dict(
+        texture=(rng.rand(global_batch, 128, 128, 3).astype(np.float32) * 2 - 1)[sl],
+        alpha=(rng.rand(global_batch, 128, 128, 1) > 0.4).astype(np.float32)[sl],
+        mesh=(rng.randn(global_batch, 32, 32, 3).astype(np.float32) * 0.02)[sl],
+    )
+    g_losses = trainer.train_step(batch)  # it 0 -> G step
+    d_losses = trainer.train_step(batch)  # it 1 -> D step
+    print(f"MULTIHOST_LOSS {float(g_losses['g_loss']):.6f} "
+          f"{float(d_losses['d_fake']):.6f}", flush=True)
     return 0
 
 

@@ -23,8 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_step():
+def _run_two_processes(model: str):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {
         k: v for k, v in os.environ.items()
@@ -32,7 +31,7 @@ def test_two_process_training_step():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(pid)],
+            [sys.executable, WORKER, coordinator, "2", str(pid), model],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -48,7 +47,19 @@ def test_two_process_training_step():
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("MULTIHOST_LOSS")]
         assert lines, f"no loss line in:\n{out}"
-        losses.append(float(lines[0].split()[1]))
-    # SPMD: every process computes the same global loss
+        losses.append([float(x) for x in lines[0].split()[1:]])
+    # SPMD: every process computes the same global losses
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
-    assert losses[0] == losses[0]  # not NaN
+    assert all(v == v for v in losses[0])  # not NaN
+
+
+@pytest.mark.slow
+def test_two_process_training_step():
+    _run_two_processes("shapenet")
+
+
+@pytest.mark.slow
+def test_two_process_gan_step():
+    """G+D steps across two processes: BatchNorm means are global over DCN
+    (the reference's 740-LoC sync_batchnorm, as one mesh annotation)."""
+    _run_two_processes("gan")

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "pod (or set IM23D_MULTIHOST=1); the mesh then "
                         "spans every chip in the slice and --batch_size "
                         "is per-process")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: shard the wide Dense "
+                        "kernels over a 'model' mesh axis of this size "
+                        "(devices = data x tp)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a window of "
                         "steady-state steps to this directory")
@@ -77,11 +81,18 @@ def main(argv=None) -> int:
     cfg = apply_shapenet_overrides(cfg, args)
 
     mesh = None
+    param_shardings = None
     if args.multihost or os.environ.get("IM23D_MULTIHOST") == "1":
         from im23d_tpu.parallel.mesh import init_multihost
 
         mesh = init_multihost()
-    learner = ShapeNetLearner(cfg, workdir=args.workdir, mesh=mesh)
+    if args.tp > 1:
+        from im23d_tpu.parallel.mesh import dense_tp_shardings, make_2d_mesh
+
+        mesh = make_2d_mesh(args.tp)  # global devices: data x model
+        param_shardings = dense_tp_shardings(args.tp)
+    learner = ShapeNetLearner(cfg, workdir=args.workdir, mesh=mesh,
+                              param_shardings=param_shardings)
     if args.restore:
         learner.restore(args.restore)
 

@@ -71,6 +71,37 @@ def init_multihost(coordinator_address: str | None = None,
     return make_mesh()
 
 
+def make_2d_mesh(tp: int, devices=None,
+                 axis_names=(DATA_AXIS, "model")) -> Mesh:
+    """(data x model) mesh: batch over 'data', tensor-parallel params over
+    'model' (width ``tp``).  XLA inserts the activation all-reduces over
+    ICI; with jax.distributed the data axis additionally spans hosts."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % tp:
+        raise ValueError(f"{n} devices not divisible by tp={tp}")
+    return Mesh(np.asarray(devices).reshape(n // tp, tp), axis_names)
+
+
+def dense_tp_shardings(tp: int, match=("decoder", "Dense")):
+    """``param_shardings`` rule: split wide Dense kernels column-wise over
+    the 'model' axis (output-sharded matmuls — each device computes its
+    slice of the features; XLA all-gathers where a replicated consumer
+    needs the full width)."""
+
+    def rule(path: str, leaf):
+        if (
+            getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[-1] % tp == 0
+            and any(m in path for m in match)
+        ):
+            return P(None, "model")
+        return None
+
+    return rule
+
+
 def make_data_mesh(batch_size: int, devices=None,
                    axis_name: str = DATA_AXIS) -> Mesh:
     """Data-parallel mesh over the most devices that evenly divide

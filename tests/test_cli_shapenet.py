@@ -33,6 +33,17 @@ def test_shapenet_cli_train_then_eval(tmp_path):
 
 
 @pytest.mark.slow
+def test_shapenet_cli_tensor_parallel(tmp_path):
+    """--tp 2 on the 8-device virtual mesh: wide Dense kernels shard over
+    the 'model' axis, batch over the 4-wide 'data' axis."""
+    workdir = str(tmp_path / "run_tp")
+    rc = train_main(TINY + ["--steps", "3", "--workdir", workdir, "--tp", "2",
+                            "--batch_size", "4"])
+    assert rc == 0
+    assert os.listdir(os.path.join(workdir, "checkpoints"))
+
+
+@pytest.mark.slow
 def test_shapenet_cli_eval_only_restore(tmp_path):
     workdir = str(tmp_path / "run")
     rc = train_main(TINY + ["--steps", "2", "--workdir", workdir])

@@ -308,9 +308,9 @@ def main(argv=None) -> int:
             inception_variables=load_inception_variables(args.inception_weights),
         )
 
-        def fid_now():
+        def fid_now(variants: bool = True):
             acts = evaluator.activations_for_batches(
-                eval_batches(), args.truncation_sigma, variants=True
+                eval_batches(), args.truncation_sigma, variants=variants
             )
             return {
                 key: evaluator.fid_against_stats(act, m_real, s_real)
@@ -333,7 +333,9 @@ def main(argv=None) -> int:
             best = (None, float("inf"))
             for step in steps:
                 trainer.restore(step=step)
-                fid = fid_now()["combined"]
+                # the sweep ranks by combined FID only (reference
+                # main.py:787-829): skip the texture/mesh-variant renders
+                fid = fid_now(variants=False)["combined"]
                 print(f"checkpoint {step}: fid/combined {fid:.3f}")
                 if fid < best[1]:
                     best = (step, fid)

@@ -29,25 +29,33 @@ def calculate_stats(act: np.ndarray):
     return mu, sigma
 
 
-def _sqrtm(mat: np.ndarray) -> np.ndarray:
-    try:
-        from scipy import linalg
+def trace_sqrt_product(sigma1: np.ndarray, sigma2: np.ndarray) -> float:
+    """Tr(sqrt(sigma1 @ sigma2)) for PSD covariances via eigendecomposition.
 
-        res = linalg.sqrtm(mat)  # scipy >= 1.18 returns the array directly
-        return res[0] if isinstance(res, tuple) else res
-    except ImportError:
-        # symmetric-part eigendecomposition fallback
-        sym = (mat + mat.T) / 2.0
-        w, v = np.linalg.eigh(sym)
-        w = np.clip(w, 0, None)
-        return (v * np.sqrt(w)) @ v.T
+    FID needs only the TRACE of the matrix square root, never the matrix:
+    Tr(sqrt(C1 C2)) = Tr(sqrt(C1^1/2 C2 C1^1/2)) = sum sqrt(eig(inner)),
+    where the inner matrix is symmetric PSD.  The reference computes the
+    full ``scipy.linalg.sqrtm`` (Schur) of the 2048x2048 product
+    (``code/utils/fid.py:67``), which takes ~30-60 s on CPU and dominates
+    every FID evaluation; two eighs are ~10x faster and agree to ~1e-6
+    relative (``tests/test_metrics.py`` pins the equivalence vs scipy).
+    Sample covariances are PSD up to round-off; negative eigenvalue noise
+    is clipped like pytorch-fid's imaginary-part tolerance.
+    """
+    sym1 = (sigma1 + sigma1.T) / 2.0
+    w1, v1 = np.linalg.eigh(sym1)
+    sq1 = (v1 * np.sqrt(np.clip(w1, 0.0, None))) @ v1.T
+    inner = sq1 @ ((sigma2 + sigma2.T) / 2.0) @ sq1
+    w = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    return float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
 
 
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """d^2 = ||mu1 - mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)).
 
     Parity: reference ``calculate_frechet_distance`` (``fid.py:32-82``,
-    fixing its missing ``import warnings``).
+    fixing its missing ``import warnings``); the sqrtm trace is computed
+    by ``trace_sqrt_product``.
     """
     mu1 = np.atleast_1d(mu1)
     mu2 = np.atleast_1d(mu2)
@@ -57,21 +65,15 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     assert sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean = _sqrtm(sigma1.dot(sigma2))
-    if not np.isfinite(covmean).all():
+    tr_covmean = trace_sqrt_product(sigma1, sigma2)
+    if not np.isfinite(tr_covmean):
         warnings.warn(
             "fid produced a singular product; adding %s to the diagonal" % eps
         )
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
-    if np.iscomplexobj(covmean):
-        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
-            raise ValueError(
-                "Imaginary component {}".format(np.max(np.abs(covmean.imag)))
-            )
-        covmean = covmean.real
+        tr_covmean = trace_sqrt_product(sigma1 + offset, sigma2 + offset)
     return float(
-        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean
     )
 
 

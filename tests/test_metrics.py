@@ -99,6 +99,16 @@ def test_frechet_matches_scipy_reference():
     expected = diff.dot(diff) + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean.real)
     np.testing.assert_allclose(frechet_distance(m1, s1, m2, s2), expected, rtol=1e-6)
 
+    # rank-deficient covariance (fewer samples than dims, like tiny eval
+    # sets): the eigen route's clipping matches scipy's real-part trace
+    a3 = rng.randn(4, 6)
+    m3, s3 = calculate_stats(a3)
+    diff = m3 - m2
+    covmean, _ = linalg.sqrtm(s3.dot(s2), disp=False)
+    expected = diff.dot(diff) + np.trace(s3) + np.trace(s2) - 2 * np.trace(covmean.real)
+    np.testing.assert_allclose(frechet_distance(m3, s3, m2, s2), expected,
+                               rtol=1e-5, atol=1e-8)
+
 
 @pytest.mark.slow
 def test_inception_features_shape_and_determinism():

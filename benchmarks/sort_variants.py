@@ -79,6 +79,10 @@ def main():
     def sort1_u32(key, gy, gx, c):
         # 64-voxel grid: key in [0, 64); 1/8-voxel quantization is finer
         # than the z-chunk windows need. 9 bits chunk key + 13 bits index.
+        assert N <= 0x2000, (  # indices 0..N-1 must fit 13 bits
+            f"sort1_u32 packs the payload index into 13 bits; n={N} would "
+            "overflow into the quantized key and corrupt the sort"
+        )
         qk = jnp.minimum((key * 8.0).astype(jnp.uint32), jnp.uint32(511))
         idx0 = jnp.broadcast_to(
             jnp.arange(N, dtype=jnp.uint32)[None], (B, N)

@@ -130,10 +130,9 @@ def import_gan(chk: dict, name: str, out_root: str) -> str:
     )
 
     conv = convert_generator(gen_sd, has_mesh_head=not mcfg.texture_only)
-    n, miss = _graft(
-        {"params": trainer.g_params, "batch_stats": trainer.g_stats}, conv
-    )
-    _report("generator", n, trainer.g_params, miss)
+    g_target = {"params": trainer.g_params, "batch_stats": trainer.g_stats}
+    n, miss = _graft(g_target, conv)
+    _report("generator", n, g_target, miss)
     conv_ema = convert_generator(ema_sd, has_mesh_head=not mcfg.texture_only)
     n, miss = _graft(trainer.g_ema, conv_ema)
     _report("generator_running_avg", n, trainer.g_ema, miss)
@@ -172,9 +171,11 @@ def import_recon(chk: dict, name: str, out_root: str, dataset: str) -> str:
         f.name: ref_args[f.name]
         for f in dataclasses.fields(ReconConfig) if f.name in ref_args
     }
-    if dp_sd:
-        cfg_kwargs["optimize_deltas"] = "ds_translation" in dp_sd
-        cfg_kwargs["optimize_z0"] = "ds_z0" in dp_sd
+    # optimize_* must mirror the weights, not the ReconConfig defaults: a
+    # checkpoint with no dataset_params would otherwise save a size-1
+    # dp_params tree that a later full-dataset restore cannot load.
+    cfg_kwargs["optimize_deltas"] = "ds_translation" in dp_sd
+    cfg_kwargs["optimize_z0"] = "ds_z0" in dp_sd
     cfg = ReconConfig(**{"batch_size": 2, **cfg_kwargs})
     dataset_size = (
         next(iter(dp_sd.values())).shape[0] if dp_sd else 1
@@ -187,10 +188,9 @@ def import_recon(chk: dict, name: str, out_root: str, dataset: str) -> str:
     )
 
     conv = convert_reconstruction(gen_sd)
-    n, miss = _graft(
-        {"params": trainer.params, "batch_stats": trainer.batch_stats}, conv
-    )
-    _report("reconstruction net", n, trainer.params, miss)
+    r_target = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+    n, miss = _graft(r_target, conv)
+    _report("reconstruction net", n, r_target, miss)
     if dp_sd:
         n, miss = _graft(trainer.dp_params, dp_sd)
         _report("dataset_params", n, trainer.dp_params, miss)

@@ -320,16 +320,16 @@ def main(argv=None) -> int:
         if args.which_epoch == "best":
             # sweep all numbered checkpoints for the lowest combined FID
             # (reference main.py:787-829)
-            import re
+            from im23d_tpu.core.checkpoint import numbered_steps
 
-            root = os.path.join(os.path.abspath(workdir), "checkpoints")
-            steps = sorted(
-                int(m.group(1))
-                for m in (
-                    re.fullmatch(r"step_(\d+)", n) for n in os.listdir(root)
+            steps = numbered_steps(workdir)
+            if not steps:
+                raise SystemExit(
+                    f"--which_epoch best: no numbered checkpoints to sweep "
+                    f"under {workdir}/checkpoints (only the rolling "
+                    f"step_latest tier exists; raise --checkpoint_freq "
+                    f"coverage or pass --which_epoch latest)"
                 )
-                if m  # skip the rolling "step_latest" tier
-            )
             best = (None, float("inf"))
             for step in steps:
                 trainer.restore(step=step)

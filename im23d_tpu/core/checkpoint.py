@@ -57,15 +57,21 @@ def wait_for_async_saves() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
-def latest_step(workdir: str) -> int | None:
+def numbered_steps(workdir: str) -> list[int]:
+    """Sorted permanent (numbered) checkpoint steps; excludes the rolling
+    ``step_latest`` tier."""
     root = os.path.join(os.path.abspath(workdir), "checkpoints")
     if not os.path.isdir(root):
-        return None
-    steps = [
+        return []
+    return sorted(
         int(m.group(1))
         for name in os.listdir(root)
         if (m := re.fullmatch(r"step_(\d+)", name))
-    ]
+    )
+
+
+def latest_step(workdir: str) -> int | None:
+    steps = numbered_steps(workdir)
     return max(steps) if steps else None
 
 

@@ -77,3 +77,11 @@ class StepProfiler:
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
+            print(f"wrote PARTIAL profiler trace (steps {self.start}-"
+                  f"{self._it} of a {self.start}-{self.stop} window) "
+                  f"to {self.log_dir}")
+        elif self._it <= self.start:
+            print(f"profiler trace NOT captured: run ended after "
+                  f"{self._it} iterations, before the capture window "
+                  f"starting at step {self.start} (run longer, or lower "
+                  f"the window start)")

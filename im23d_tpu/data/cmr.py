@@ -87,12 +87,17 @@ class CMRBaseDataset:
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
-        """Advance the per-item augmentation streams (one call per epoch)."""
+        """Advance the per-item augmentation streams (one call per epoch).
+
+        Iterators that prefetch across epoch boundaries should instead pass
+        ``epoch`` to :meth:`item` — that form has no shared mutable state.
+        """
         self._epoch = int(epoch)
 
-    def _item_rng(self, index: int) -> np.random.Generator:
+    def _item_rng(self, index: int, epoch: int | None = None) -> np.random.Generator:
+        e = self._epoch if epoch is None else int(epoch)
         return np.random.default_rng(
-            np.random.SeedSequence([self._seed, self._epoch, int(index)])
+            np.random.SeedSequence([self._seed, e, int(index)])
         )
 
     def get_paths(self) -> list[str]:
@@ -108,7 +113,7 @@ class CMRBaseDataset:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img[..., :3]
 
-    def forward_img(self, index: int):
+    def forward_img(self, index: int, epoch: int | None = None):
         data = self.anno[index]
         data_sfm = self.anno_sfm[index]
         sfm_pose = [
@@ -122,7 +127,7 @@ class CMRBaseDataset:
         bbox = np.array(
             [data.bbox.x1, data.bbox.y1, data.bbox.x2, data.bbox.y2], float
         ) - 1
-        rng = self._item_rng(index)
+        rng = self._item_rng(index, epoch)
         bbox = peturb_bbox(
             bbox, pf=self.padding_frac,
             jf=self.jitter_frac if self.is_train else 0.0, rng=rng,
@@ -174,7 +179,13 @@ class CMRBaseDataset:
         return self.num_imgs
 
     def __getitem__(self, index: int) -> dict:
-        img, mask, pose, mirrored, path, extra = self.forward_img(index)
+        return self.item(index, None)
+
+    def item(self, index: int, epoch: int | None) -> dict:
+        """Like ``__getitem__`` but with the augmentation epoch passed
+        explicitly — a pure function of (seed, epoch, index), safe for
+        concurrent iterators over the same dataset object."""
+        img, mask, pose, mirrored, path, extra = self.forward_img(index, epoch)
         # masked RGBA in [-1, 1] like the recon ImageDataset wrapper
         # (run_reconstruction.py:104-122)
         rgb = (img.astype(np.float32) * 2 - 1) * mask.astype(np.float32)
@@ -248,9 +259,11 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     from im23d_tpu.data.prefetch import prefetched_batches
 
     rng = np.random.RandomState(seed)
+    epoch = seed  # captured locally: concurrent iterators cannot clobber it
     set_epoch = getattr(dataset, "set_epoch", None)
     if set_epoch is not None:
-        set_epoch(seed)
+        set_epoch(epoch)  # keep direct dataset[i] consumers in sync
+    item_at = getattr(dataset, "item", None)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
@@ -262,7 +275,10 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     ]
 
     def build(idx):
-        items = [dataset[int(i)] for i in idx]
+        items = [
+            item_at(int(i), epoch) if item_at is not None else dataset[int(i)]
+            for i in idx
+        ]
         batch = {}
         for k in items[0]:
             if keys is not None and k not in keys:

@@ -130,18 +130,29 @@ class PseudoGTDataset:
         }
 
     def set_epoch(self, epoch: int) -> None:
-        """Advance the per-item augmentation streams (one call per epoch)."""
+        """Advance the per-item augmentation streams (one call per epoch).
+
+        Iterators that prefetch across epoch boundaries should instead pass
+        ``epoch`` to :meth:`item` — that form has no shared mutable state.
+        """
         self._epoch = int(epoch)
 
-    def _item_rng(self, idx: int) -> np.random.Generator:
+    def _item_rng(self, idx: int, epoch: int | None = None) -> np.random.Generator:
+        e = self._epoch if epoch is None else int(epoch)
         return np.random.default_rng(
-            np.random.SeedSequence([self._seed, self._epoch, int(idx)])
+            np.random.SeedSequence([self._seed, e, int(idx)])
         )
 
     def __getitem__(self, idx: int) -> dict:
+        return self.item(idx, None)
+
+    def item(self, idx: int, epoch: int | None) -> dict:
+        """Like ``__getitem__`` but with the augmentation epoch passed
+        explicitly — a pure function of (seed, epoch, idx), safe for
+        concurrent iterators over the same dataset object."""
         item = self.load_pseudo_ground_truth(idx)
         del item["image"]
-        rng = self._item_rng(idx)
+        rng = self._item_rng(idx, epoch)
         mirror = self.augment and not self.evaluate and rng.integers(2) == 1
         e = (
             int(rng.integers(self.caption_tokens.shape[1]))
@@ -295,9 +306,11 @@ def gan_batch_iterator(dataset: PseudoGTDataset, batch_size: int,
     from im23d_tpu.data.prefetch import prefetched_batches
 
     rng = np.random.RandomState(seed)
+    epoch = seed  # captured locally: concurrent iterators cannot clobber it
     set_epoch = getattr(dataset, "set_epoch", None)
     if set_epoch is not None:
-        set_epoch(seed)
+        set_epoch(epoch)  # keep direct dataset[i] consumers in sync
+    item_at = getattr(dataset, "item", None)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
@@ -307,7 +320,10 @@ def gan_batch_iterator(dataset: PseudoGTDataset, batch_size: int,
     ]
 
     def build(idx):
-        items = [dataset[int(i)] for i in idx]
+        items = [
+            item_at(int(i), epoch) if item_at is not None else dataset[int(i)]
+            for i in idx
+        ]
         batch = dict(
             texture=np.stack([it["texture"] for it in items]),
             alpha=np.stack([it["texture_alpha"] for it in items]),

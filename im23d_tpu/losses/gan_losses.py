@@ -61,18 +61,22 @@ def gan_loss(preds, target_is_real: bool, for_discriminator: bool = True,
     return total / sum(weights)
 
 
-def flatness_loss(face_normals: jnp.ndarray, ff: jnp.ndarray) -> jnp.ndarray:
+def flatness_loss(face_normals: jnp.ndarray, ff: jnp.ndarray,
+                  per_sample: bool = False) -> jnp.ndarray:
     """Mean squared cosine distance between edge-adjacent face normals,
     scaled by F/2 (reference ``loss_flat``, ``losses.py:5-17``).
 
     Args:
       face_normals: (B, F, 3) unit normals.
       ff: (F, 3) adjacent-face indices.
+      per_sample: return (B,) instead of the batch-mean scalar (the scalar
+        is the mean of the per-sample values — one formula, both callers).
     """
     F = face_normals.shape[1]
     loss = 0.0
     for i in range(3):
         n2 = face_normals[:, ff[:, i]]
         cos = jnp.sum(face_normals * n2, axis=-1)
-        loss = loss + jnp.mean((cos - 1.0) ** 2)
-    return loss * (F / 2.0)
+        loss = loss + jnp.mean((cos - 1.0) ** 2, axis=-1)
+    loss = loss * (F / 2.0)
+    return loss if per_sample else jnp.mean(loss)

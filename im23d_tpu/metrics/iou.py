@@ -14,13 +14,15 @@ import jax.numpy as jnp
 from im23d_tpu.ops.voxel import trilinear_splat
 
 
-def mean_iou(alpha_pred: jnp.ndarray, alpha_real: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W) predicted/real alphas -> scalar mean IoU."""
+def mean_iou(alpha_pred: jnp.ndarray, alpha_real: jnp.ndarray,
+             per_sample: bool = False) -> jnp.ndarray:
+    """(B, H, W) predicted/real alphas -> mean IoU (or per-sample (B,))."""
     p = alpha_pred > 0.5
     r = alpha_real > 0.5
     inter = jnp.sum((p & r).astype(jnp.float32), axis=(1, 2))
     union = jnp.sum((p | r).astype(jnp.float32), axis=(1, 2))
-    return jnp.mean(inter / jnp.maximum(union, 1.0))
+    iou = inter / jnp.maximum(union, 1.0)
+    return iou if per_sample else jnp.mean(iou)
 
 
 def iou_3d(points_a: jnp.ndarray, points_b: jnp.ndarray, voxel_size: int = 32,

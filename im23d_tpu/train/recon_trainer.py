@@ -182,10 +182,13 @@ class ReconTrainer:
         )
         return raw_vtx, vtx, image, alpha
 
-    def _recon_loss(self, x_fake, x_real):
-        if self.cfg.loss == "l1":
-            return jnp.mean(jnp.abs(x_fake - x_real))
-        return jnp.mean((x_fake - x_real) ** 2)
+    def _recon_loss(self, x_fake, x_real, per_sample: bool = False):
+        err = x_fake - x_real
+        per = jnp.mean(
+            jnp.abs(err) if self.cfg.loss == "l1" else err ** 2,
+            axis=(1, 2, 3),
+        )
+        return per if per_sample else jnp.mean(per)
 
     # -- compiled steps -------------------------------------------------------
 
@@ -248,23 +251,16 @@ class ReconTrainer:
             x_fake = jnp.concatenate([image, alpha], axis=-1)
             wsum = jnp.maximum(jnp.sum(w), 1.0)
             wmean = lambda per_sample: jnp.sum(per_sample * w) / wsum
-            err = x_fake - batch["image"]
-            recon = wmean(jnp.mean(
-                jnp.abs(err) if self.cfg.loss == "l1" else err ** 2,
-                axis=(1, 2, 3),
+            recon = wmean(
+                self._recon_loss(x_fake, batch["image"], per_sample=True)
+            )
+            flat = wmean(flatness_loss(
+                self.template.compute_normals(raw_vtx), self.template.ff_j,
+                per_sample=True,
             ))
-            normals = self.template.compute_normals(raw_vtx)
-            F = normals.shape[1]
-            flat_ps = 0.0
-            for i in range(3):
-                cos = jnp.sum(normals * normals[:, self.template.ff_j[:, i]], -1)
-                flat_ps = flat_ps + jnp.mean((cos - 1.0) ** 2, axis=-1)
-            flat = wmean(flat_ps * (F / 2.0))
-            p = x_fake[..., 3] > 0.5
-            r = batch["image"][..., 3] > 0.5
-            inter = jnp.sum((p & r).astype(jnp.float32), axis=(1, 2))
-            union = jnp.maximum(jnp.sum((p | r).astype(jnp.float32), (1, 2)), 1.0)
-            miou = wmean(inter / union)
+            miou = wmean(mean_iou(
+                x_fake[..., 3], batch["image"][..., 3], per_sample=True
+            ))
             return dict(recon_loss=recon, flat_loss=flat, iou=miou), x_fake
 
         self._eval_step = jax.jit(

@@ -192,3 +192,27 @@ def test_pseudogt_roundtrip_with_generator(tmp_path):
     assert batch["texture"].shape == (2, 32, 32, 3)
     assert batch["alpha"].shape == (2, 32, 32, 1)
     assert batch["mesh"].shape[0] == 2
+
+
+def test_concurrent_iterators_do_not_clobber_each_other(tmp_path):
+    """Two live iterators over ONE dataset object draw from independent
+    (seed, epoch, index) streams: interleaved consumption matches each
+    iterator's solo run (the epoch is captured per-iterator, not read from
+    shared dataset state at decode time)."""
+    ds = _make_fake_cmr(str(tmp_path))
+    ds.jitter_frac = 0.05
+
+    solo_a = list(batch_iterator(ds, 2, seed=1, num_workers=1))
+    solo_b = list(batch_iterator(ds, 2, seed=2, num_workers=1))
+
+    it_a = batch_iterator(ds, 2, seed=1, num_workers=1)
+    it_b = batch_iterator(ds, 2, seed=2, num_workers=1)
+    inter_a, inter_b = [], []
+    for _ in range(len(solo_a)):
+        inter_a.append(next(it_a))
+        inter_b.append(next(it_b))
+
+    for solo, inter in ((solo_a, inter_a), (solo_b, inter_b)):
+        for a, b in zip(solo, inter):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])

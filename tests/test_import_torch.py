@@ -137,3 +137,37 @@ def test_import_recon_checkpoint_roundtrip(tmp_path, monkeypatch):
         convert_reconstruction(gen_sd)["params"]["Conv_0"]["kernel"],
         rtol=1e-6,
     )
+
+
+@pytest.mark.slow
+def test_import_recon_without_dataset_params_is_restorable(tmp_path, monkeypatch):
+    """A .pth lacking dataset_params must not bake the ReconConfig defaults
+    (optimize_deltas=True) into the checkpoint: that would save a size-1
+    dp_params tree that a later full-dataset restore cannot load."""
+    from im23d_tpu.cli.import_torch import main
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.train.recon_trainer import ReconConfig, ReconTrainer
+
+    monkeypatch.chdir(tmp_path)
+    gen_sd = make_recon_state_dict(np.random.RandomState(4))
+    chk = dict(
+        generator=gen_sd, epoch=1, iteration=10,
+        args=dict(texture_resolution=64, mesh_resolution=32, symmetric=True,
+                  dataset="cub"),
+    )
+    _save_pth(tmp_path / "checkpoint_latest.pth", chk)
+    rc = main(["--checkpoint", str(tmp_path / "checkpoint_latest.pth"),
+               "--name", "imported_nodp"])
+    assert rc == 0
+
+    # restoring with a real (larger) dataset size must work: the import
+    # forced optimize_deltas/optimize_z0 off, so no dp tree was saved
+    trainer = ReconTrainer(
+        ReconConfig(texture_resolution=64, optimize_deltas=False,
+                    optimize_z0=False, batch_size=2),
+        dataset_size=20,
+        template=MeshTemplate(segments=32, rings=16),
+        workdir=str(tmp_path / "checkpoints_recon" / "imported_nodp"),
+    )
+    trainer.restore()
+    assert trainer.epoch == 1 and trainer.total_it == 10

@@ -163,3 +163,22 @@ def test_cli_load_inception_variables_npz(tmp_path):
     })
     v = load_inception_variables(str(path))
     assert v["params"]["Conv2d_1a_3x3"]["conv"]["kernel"].shape == (3, 3, 3, 32)
+
+
+def test_frechet_distance_nan_inputs_warn_not_crash():
+    """Non-finite activations (diverged generator mid-training) must yield a
+    NaN FID with a warning — never a LinAlgError that kills the run."""
+    import warnings
+
+    from im23d_tpu.metrics.fid import frechet_distance
+
+    rng = np.random.RandomState(0)
+    mu = rng.randn(8).astype(np.float64)
+    sigma = np.eye(8)
+    bad = sigma.copy()
+    bad[0, 0] = np.nan
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = frechet_distance(mu, bad, mu, sigma)
+    assert np.isnan(out)
+    assert any("non-finite" in str(x.message) for x in w)

@@ -302,3 +302,14 @@ def test_async_rolling_checkpoint_roundtrip(tmp_path):
                                   np.asarray(tree["w"]))
     assert int(out["step"]) == 7
     wait_for_async_saves()
+
+
+def test_numbered_steps_excludes_rolling_tier(tmp_path):
+    from im23d_tpu.core.checkpoint import latest_step, numbered_steps
+
+    root = tmp_path / "run" / "checkpoints"
+    for name in ("step_3", "step_10", "step_latest", "curves_3.npz"):
+        (root / name).mkdir(parents=True)
+    assert numbered_steps(str(tmp_path / "run")) == [3, 10]
+    assert latest_step(str(tmp_path / "run")) == 10
+    assert numbered_steps(str(tmp_path / "nonexistent")) == []

@@ -277,11 +277,11 @@ def main(argv=None) -> int:
             ds.caption_tokens[idx, 0]
             if getattr(ds, "caption_tokens", None) is not None else None
         )
-        return classes, poses, captions
+        return classes, poses, captions, idx
 
     if args.save_results:
         out = os.path.join("results", args.name)
-        classes, poses, captions = sample_conditioning(args.batch_size)
+        classes, poses, captions, _ = sample_conditioning(args.batch_size)
         files = export_results(
             trainer, template, out, n_samples=args.batch_size,
             truncation_sigma=args.truncation_sigma, classes=classes,
@@ -300,9 +300,12 @@ def main(argv=None) -> int:
                               drop_last=False)
 
     if args.evaluate:
+        from im23d_tpu.train.gan_eval import load_val_stats, val_fids
+
         cache_dir = args.cache_dir or os.path.join("cache", args.dataset)
         stats_path = os.path.join(cache_dir, "precomputed_fid_299x299_train.npz")
         m_real, s_real, _, _ = load_precomputed_stats(stats_path)
+        val_stats = load_val_stats(cache_dir)
         evaluator = FIDEvaluator(
             trainer, template,
             inception_variables=load_inception_variables(args.inception_weights),
@@ -312,10 +315,18 @@ def main(argv=None) -> int:
             acts = evaluator.activations_for_batches(
                 eval_batches(), args.truncation_sigma, variants=variants
             )
-            return {
+            fids = {
                 key: evaluator.fid_against_stats(act, m_real, s_real)
                 for key, act in acts.items()
             }
+            if val_stats is not None and variants:
+                # deterministic val subsample under --evaluate (the
+                # reference seeds 1234 there, main.py:361-363); the best
+                # sweep skips val like the reference's fast=True
+                # (main.py:818,363)
+                fids.update(val_fids(acts, val_stats,
+                                     np.random.RandomState(1234)))
+            return fids
 
         if args.which_epoch == "best":
             # sweep all numbered checkpoints for the lowest combined FID
@@ -354,13 +365,17 @@ def main(argv=None) -> int:
     stats_path = os.path.join(cache_dir, "precomputed_fid_299x299_train.npz")
     evaluator = None
     fid_real = None
+    val_stats = None
     if os.path.exists(stats_path):
+        from im23d_tpu.train.gan_eval import load_val_stats
+
         evaluator = FIDEvaluator(
             trainer, template,
             inception_variables=load_inception_variables(args.inception_weights),
         )
         m_real, s_real, _, _ = load_precomputed_stats(stats_path)
         fid_real = (m_real, s_real)
+        val_stats = load_val_stats(cache_dir)
     else:
         logger.log_text(
             f"no FID stats at {stats_path}; in-training eval logs image "
@@ -371,10 +386,23 @@ def main(argv=None) -> int:
     # the same classes/poses every eval (reference logs grids each FID pass,
     # main.py:378-410)
     viz_n = min(args.batch_size, 16)
-    viz_classes, viz_poses, viz_captions = sample_conditioning(viz_n, seed=1234)
+    viz_classes, viz_poses, viz_captions, viz_idx = sample_conditioning(
+        viz_n, seed=1234
+    )
+    # matching real pseudo-gt for the comparison grids (the reference logs
+    # real textures/images next to the fakes, main.py:378-404)
+    viz_real = None
+    if getattr(ds, "has_pseudo_ground_truth", False):
+        items = [ds.load_pseudo_ground_truth(int(i)) for i in viz_idx]
+        viz_real = {
+            k: np.stack([it[k] for it in items]).astype(np.float32)
+            for k in ("image", "texture", "mesh")
+        }
 
     def evaluate_during_training(epoch):
         if evaluator is not None:
+            from im23d_tpu.train.gan_eval import val_fids
+
             acts = evaluator.activations_for_batches(
                 eval_batches(), args.truncation_sigma, variants=True
             )
@@ -382,6 +410,14 @@ def main(argv=None) -> int:
                 f"fid/{key}": evaluator.fid_against_stats(act, *fid_real)
                 for key, act in acts.items()
             }
+            if val_stats is not None:
+                # fresh subsample per eval like the reference's unseeded
+                # np.random.choice during training (main.py:363)
+                fids.update({
+                    f"fid/{k}": v for k, v in val_fids(
+                        acts, val_stats, np.random.RandomState(epoch)
+                    ).items()
+                })
             logger.log(trainer.total_it, fids)
             logger.log_text(
                 f"epoch {epoch} " +
@@ -397,17 +433,71 @@ def main(argv=None) -> int:
         )
         c = jnp.asarray(viz_classes, jnp.int32) if viz_classes is not None else None
         tex, mesh_map = trainer.generate(z, c, caption_tokens=viz_captions)
-        img, alpha = render_generated(
-            template, 256, mesh_map, tex,
-            jnp.asarray(viz_poses["scale"], jnp.float32).reshape(-1),
-            jnp.asarray(viz_poses["translation"], jnp.float32),
-            jnp.asarray(viz_poses["rotation"], jnp.float32),
+        s = jnp.asarray(viz_poses["scale"], jnp.float32).reshape(-1)
+        t = jnp.asarray(viz_poses["translation"], jnp.float32)
+        r = jnp.asarray(viz_poses["rotation"], jnp.float32)
+        img, alpha = render_generated(template, 256, mesh_map, tex, s, t, r)
+
+        def composite(image, a):
+            return np.where(np.asarray(a) > 0, np.asarray(image), 1.0)
+
+        logger.log_images(
+            trainer.total_it, "samples/render", composite(img, alpha)
         )
-        grid = np.where(np.asarray(alpha) > 0, np.asarray(img), 1.0)
-        logger.log_images(trainer.total_it, "samples/render", grid)
         logger.log_images(
             trainer.total_it, "samples/texture", np.asarray(tex) / 2.0 + 0.5
         )
+
+        def mesh_grid(m):
+            m = np.asarray(m, np.float32)
+            lo = m.min(axis=(1, 2), keepdims=True)
+            hi = m.max(axis=(1, 2), keepdims=True)
+            return (m - lo) / np.maximum(hi - lo, 1e-8)
+
+        logger.log_images(
+            trainer.total_it, "samples/mesh_map", mesh_grid(mesh_map)
+        )
+
+        if viz_real is not None:
+            # real images + cross-variant renders beside the fakes
+            # (reference image/real_tex, render/{real,fake_texture,fake_mesh},
+            # main.py:378-404)
+            # the pseudo-gt loader returns "image" already in [0,1]
+            logger.log_images(
+                trainer.total_it, "samples/real_image",
+                np.asarray(viz_real["image"]),
+            )
+            logger.log_images(
+                trainer.total_it, "samples/real_texture",
+                np.asarray(viz_real["texture"]) / 2.0 + 0.5,
+            )
+            img_t, alpha_t = render_generated(
+                template, 256, jnp.asarray(viz_real["mesh"]), tex, s, t, r
+            )
+            logger.log_images(
+                trainer.total_it, "samples/render_fake_texture",
+                composite(img_t, alpha_t),
+            )
+            img_m, alpha_m = render_generated(
+                template, 256, mesh_map, jnp.asarray(viz_real["texture"]),
+                s, t, r,
+            )
+            logger.log_images(
+                trainer.total_it, "samples/render_fake_mesh",
+                composite(img_m, alpha_m),
+            )
+
+        vocab = getattr(ds, "caption_vocab", None)
+        if viz_captions is not None and vocab is not None:
+            # decoded captions for the grid samples (reference
+            # render/caption text, main.py:389-401)
+            lines = [
+                f"{i}. " + " ".join(
+                    vocab[w] for w in row.tolist() if w != 0
+                )
+                for i, row in enumerate(np.asarray(viz_captions))
+            ]
+            logger.log_text("sample captions:\n" + "\n".join(lines))
 
     profiler = None
     if args.profile_dir:

@@ -57,6 +57,12 @@ class PseudoGTDataset:
             cap = np.load(os.path.join(cache_dir, "captions_tokens.npz"))
             self.caption_tokens = cap["tokens"].astype(np.int32)
             self.n_words = int(cap["n_words"])
+            # index -> word table when the cache carries one (written by
+            # data/captions.py; used to log captions beside sample grids
+            # like the reference's render/caption text, main.py:389-401)
+            self.caption_vocab = (
+                [str(w) for w in cap["vocab"]] if "vocab" in cap else None
+            )
 
         meta = np.load(os.path.join(cache_dir, "poses_metadata.npz"),
                        allow_pickle=True)

@@ -130,6 +130,33 @@ def load_precomputed_stats(path: str):
     return m, s, int(stats["num_images"]), int(stats["resolution"])
 
 
+def load_val_stats(cache_dir: str, evaluation_res: int = 299):
+    """(m, s, num_images) from the testval stats cache, or None when the
+    dataset ships no validation split (reference loads these for CUB only,
+    ``main.py:177-184``)."""
+    path = os.path.join(
+        cache_dir,
+        f"precomputed_fid_{evaluation_res}x{evaluation_res}_testval.npz",
+    )
+    if not os.path.exists(path):
+        return None
+    m, s, n, _ = load_precomputed_stats(path)
+    return m, s, n
+
+
+def val_fids(acts: dict, val_stats, rng: np.random.RandomState) -> dict:
+    """Validation-split FIDs: subsample the fake activations down to the
+    val set's size (the same indices across variants) and score against the
+    testval stats (reference ``main.py:359-376``)."""
+    m_v, s_v, n_v = val_stats
+    n = len(acts["combined"])
+    sel = rng.choice(n, size=min(n_v, n), replace=False)
+    return {
+        f"{key}_val": FIDEvaluator.fid_against_stats(act[sel], m_v, s_v)
+        for key, act in acts.items()
+    }
+
+
 def export_results(gan_trainer, template, out_dir: str, n_samples: int = 16,
                    truncation_sigma: float = 1.0, classes=None,
                    poses=None, caption_tokens=None, render_res: int = 512,

@@ -47,12 +47,18 @@ def make_synthetic_cub_cache(root, n=N_IMAGES, res=TEX_RES, captions=False):
         )
         np.savez(os.path.join(pg, f"{i}.npz"), data=data)
 
-    # fake-but-valid FID real stats (random inception weights in CI anyway)
+    # fake-but-valid FID real stats (random inception weights in CI anyway);
+    # the testval stats have fewer images to exercise the val subsampling
     s = np.tril(rng.rand(2048, 2048).astype(np.float32) * 1e-3)
     np.savez(
         os.path.join(cache, "precomputed_fid_299x299_train.npz"),
         stats_m=rng.rand(2048).astype(np.float32),
         stats_s=s, num_images=n, resolution=299,
+    )
+    np.savez(
+        os.path.join(cache, "precomputed_fid_299x299_testval.npz"),
+        stats_m=rng.rand(2048).astype(np.float32),
+        stats_s=s, num_images=max(n - 2, 1), resolution=299,
     )
 
     cub = os.path.join(root, "datasets", "cub", "CUB_200_2011")
@@ -67,6 +73,7 @@ def make_synthetic_cub_cache(root, n=N_IMAGES, res=TEX_RES, captions=False):
             os.path.join(cache, "captions_tokens.npz"),
             tokens=rng.randint(1, 30, size=(n, 2, 18)).astype(np.int32),
             n_words=30,
+            vocab=np.asarray(["<pad>"] + [f"word{i}" for i in range(1, 30)]),
         )
     return cache
 
@@ -100,12 +107,18 @@ def test_gan_cli_train_eval_export(tmp_path, monkeypatch):
     ]
     keys = set().union(*(r.keys() for r in records))
     assert "g_loss" in keys and "d_fake" in keys
-    assert {"fid/combined", "fid/texture_only", "fid/mesh_only"} <= keys
+    assert {"fid/combined", "fid/texture_only", "fid/mesh_only",
+            "fid/combined_val"} <= keys
 
     # sample grids were rendered
     images = os.listdir(workdir / "images")
     assert any(f.startswith("samples_render") for f in images)
     assert any(f.startswith("samples_texture") for f in images)
+    # real + cross-variant comparison grids (reference main.py:378-404)
+    assert any(f.startswith("samples_real_image") for f in images)
+    assert any(f.startswith("samples_render_fake_texture") for f in images)
+    assert any(f.startswith("samples_render_fake_mesh") for f in images)
+    assert any(f.startswith("samples_mesh_map") for f in images)
 
     # two-tier checkpoints: rolling 'latest' (epoch 1) + numbered (epoch 2)
     ckpts = os.listdir(workdir / "checkpoints")
@@ -228,3 +241,24 @@ def test_gan_cli_p3d_color_conditional(tmp_path, monkeypatch):
     assert rc == 0
     out = tmp_path / "results" / "p3d_t"
     assert len([f for f in os.listdir(out) if f.endswith(".obj")]) == 4
+
+
+@pytest.mark.slow
+def test_gan_cli_text_conditional(tmp_path, monkeypatch):
+    """--conditional_text end-to-end through the CLI: caption cache with a
+    vocab, in-training eval decodes the grid samples' captions to text."""
+    cache = make_synthetic_cub_cache(str(tmp_path), captions=True)
+    monkeypatch.chdir(tmp_path)
+
+    rc = main(BASE_ARGS + [
+        "--name", "txt", "--cache_dir", cache, "--conditional_text",
+        "--epochs", "1", "--evaluate_freq", "1", "--save_freq", "1",
+    ])
+    assert rc == 0
+    workdir = tmp_path / "gan_weights" / "txt"
+    log = (workdir / "log.txt").read_text()
+    assert "sample captions:" in log and "word" in log
+    assert any(
+        f.startswith("samples_render")
+        for f in os.listdir(workdir / "images")
+    )

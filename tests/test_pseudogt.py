@@ -91,3 +91,22 @@ def test_generate_pseudogt_writes_reference_format(tmp_path):
     assert np.allclose(s, np.tril(s))  # upper triangle zeroed
     assert int(stats["num_images"]) == 4
     assert int(stats["resolution"]) == 75
+
+
+def test_pseudogt_item_epoch_is_pure(tmp_path):
+    """item(idx, epoch) draws are a pure function of (seed, epoch, idx):
+    set_epoch on the shared dataset cannot perturb an explicit-epoch call."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cli_main import make_synthetic_cub_cache
+
+    from im23d_tpu.data.pseudogt import CubGANDataset
+
+    cache = make_synthetic_cub_cache(str(tmp_path))
+    ds = CubGANDataset(cache_dir=cache, texture_resolution=128)
+    a = ds.item(0, 5)
+    ds.set_epoch(99)
+    b = ds.item(0, 5)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="chairs")
     p.add_argument("--data_root", type=str, default="data",
                    help="directory with <synset>.{train,valid} splits + renders")
+    p.add_argument("--no_ram_cache", action="store_true",
+                   help="stream renders from disk instead of caching the "
+                        "decoded uint8 views in RAM (~325 KB/model at 128^2)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated silhouette data (no assets needed)")
     p.add_argument("--workdir", type=str, required=True)
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
         bunch = DataBunch(
             args.data_root, args.category, cfg.batch_size,
             cfg.image_size, use_camera=False,
+            cache_in_ram=not args.no_ram_cache,
         )
         train_iter = bunch.train_iter()
         valid_batches = bunch.valid_batches

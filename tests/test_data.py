@@ -216,3 +216,65 @@ def test_concurrent_iterators_do_not_clobber_each_other(tmp_path):
         for a, b in zip(solo, inter):
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+def _make_shapenet_tree(root, synset="02691156", n=6, views=3, res=48):
+    """Reference on-disk layout: <root>/<synset>.{train,valid} split files +
+    per-model dirs of render*.png (RGBA) and camera*.mat (Blender pos)."""
+    from PIL import Image
+    from scipy.io import savemat
+
+    rng = np.random.RandomState(0)
+    data = os.path.join(root, synset)
+    names = []
+    for i in range(n):
+        d = os.path.join(data, f"model_{i:04d}")
+        os.makedirs(d, exist_ok=True)
+        names.append(f"model_{i:04d}")
+        for v in range(views):
+            img = (rng.rand(res, res, 4) * 255).astype(np.uint8)
+            Image.fromarray(img, "RGBA").save(
+                os.path.join(d, f"render_{v}.png"))
+            savemat(os.path.join(d, f"camera_{v}.mat"),
+                    {"pos": rng.randn(1, 3) * 2 + 4})
+    with open(os.path.join(root, f"{synset}.train"), "w") as fh:
+        fh.write("\n".join(names[:4]))
+    with open(os.path.join(root, f"{synset}.valid"), "w") as fh:
+        fh.write("\n".join(names[4:]))
+
+
+def test_databunch_real_layout(tmp_path):
+    """DataBunch over the reference's on-disk render tree: uint8 batches,
+    V poses/masks per model, RAM cache returns identical items."""
+    from im23d_tpu.data.shapenet import DataBunch
+
+    _make_shapenet_tree(str(tmp_path))
+    bunch = DataBunch(str(tmp_path), "planes", batch_size=2, image_size=32)
+    it = bunch.train_iter(num_prefetch=2)
+    batch = next(it)
+    assert batch["images"].shape == (2, 32, 32, 3)
+    assert batch["images"].dtype == np.uint8
+    assert batch["pose_input"].shape == (2 * 3, 4)  # V=3 quaternions
+    assert batch["masks"].shape == (2 * 3, 32, 32)
+    it.close()
+
+    # cache hit equals the fresh decode
+    cold = DataBunch(str(tmp_path), "planes", batch_size=2, image_size=32,
+                     cache_in_ram=False)
+    a = bunch.train_ds[0]
+    b = bunch.train_ds[0]  # cached
+    c = cold.train_ds[0]
+    for x, y in zip(a, b):
+        assert x is y  # same cached object
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
+
+    # valid iteration covers the split in order
+    vb = list(bunch.valid_batches())
+    assert len(vb) == 0 or vb[0]["images"].dtype == np.uint8
+
+    # camera-less mode: poses are the view images
+    nocam = DataBunch(str(tmp_path), "planes", batch_size=2, image_size=32,
+                      use_camera=False)
+    nb = next(nocam.train_iter(num_prefetch=1))
+    assert nb["pose_input"].shape == (2 * 3, 32, 32, 3)

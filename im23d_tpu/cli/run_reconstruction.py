@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "TPU); losses/renderer/export stay float32")
     p.add_argument("--num_workers", type=int, default=4,
                    help="data-loading threads")
+    p.add_argument("--data_processes", type=int, default=0,
+                   help="forked item-decode worker processes (the PIL codec "
+                        "path is GIL-bound; raise to ~4 on many-core TPU "
+                        "hosts — the reference uses 4 DataLoader worker "
+                        "processes). 0 = threads only")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a multi-host TPU "
                         "pod (or set IM23D_MULTIHOST=1); the mesh then "
@@ -171,7 +176,8 @@ def main(argv=None) -> int:
         def loader():
             for batch in batch_iterator(train_ds, args.batch_size,
                                         shuffle=False, drop_last=False,
-                                        num_workers=args.num_workers):
+                                        num_workers=args.num_workers,
+                                        process_workers=args.data_processes):
                 batch["hd_image"] = batch.pop(f"image_{renderer_res}") / 2.0 + 0.5
                 batch["inception_image"] = batch.pop("image_299")
                 yield batch
@@ -223,7 +229,8 @@ def main(argv=None) -> int:
             t0 = time.time()
             for it_in_epoch, batch in enumerate(
                 batch_iterator(train_ds, args.batch_size, seed=epoch,
-                               keys=train_keys, num_workers=args.num_workers)
+                               keys=train_keys, num_workers=args.num_workers,
+                               process_workers=args.data_processes)
             ):
                 if profiler is not None:
                     profiler.tick()

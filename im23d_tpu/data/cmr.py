@@ -11,7 +11,6 @@ Quaternion helpers replace the vendored Gohlke ``transformations.py``.
 
 from __future__ import annotations
 
-import copy
 import os.path as osp
 from typing import Iterator, Sequence
 
@@ -106,9 +105,13 @@ class CMRBaseDataset:
         ]
 
     def _read_image(self, path: str) -> np.ndarray:
+        """Decode to uint8 (H, W, 3).  The [0,1] float conversion happens
+        AFTER crop+resize (forward_img): normalizing the full-resolution
+        image first costs a float64 multiply+alloc per item that the crop
+        then throws away, and resize quantizes through uint8 anyway."""
         from PIL import Image
 
-        img = np.asarray(Image.open(path)) / 255.0
+        img = np.asarray(Image.open(path))
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img[..., :3]
@@ -135,19 +138,22 @@ class CMRBaseDataset:
         mirrored = self.is_train and rng.integers(2) == 1
         bbox = square_bbox(bbox)
 
-        img = crop(img, bbox, bgval=1)
+        img = crop(img, bbox, bgval=255)  # uint8 white background
         mask = crop(mask, bbox, bgval=0)
         sfm_pose[1][0] -= bbox[0]
         sfm_pose[1][1] -= bbox[1]
 
         outputs = []
         for res in self.img_sizes:
-            img_r, mask_r, pose_r = self._scale(
-                img.copy(), mask.copy(), copy.deepcopy(sfm_pose), res
-            )
+            pose_c = [np.copy(sfm_pose[0]), np.copy(sfm_pose[1]),
+                      np.copy(sfm_pose[2])]
+            img_r, mask_r, pose_r = self._scale(img, mask, pose_c, res)
             if mirrored:
                 img_r, mask_r, pose_r = self._mirror(img_r, mask_r, pose_r)
-            outputs.append((img_r, mask_r, pose_r))
+            # floats only at the final (small) resolution
+            outputs.append((
+                img_r.astype(np.float32) / 255.0, mask_r, pose_r
+            ))
 
         img_ref, mask_ref, pose_ref = outputs[0]
         h, w = img_ref.shape[:2]
@@ -247,15 +253,61 @@ class P3dDataset(CMRBaseDataset):
         self.num_imgs = len(self.anno)
 
 
+_WORKER_DS = None
+_PROC_POOLS: dict = {}
+
+
+def _worker_init(dataset) -> None:
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _worker_item(args):
+    idx, epoch = args
+    item_at = getattr(_WORKER_DS, "item", None)
+    return item_at(idx, epoch) if item_at is not None else _WORKER_DS[idx]
+
+
+def _dataset_proc_pool(dataset, process_workers: int):
+    """Persistent forked worker pool for a dataset (one fork per training
+    run, not per epoch).  Safe despite the fork-time snapshot: items are a
+    pure function of (seed, epoch, idx) — the epoch travels with each work
+    unit — and all other dataset state is immutable after construction."""
+    import multiprocessing as mp
+    import weakref
+    from concurrent.futures import ProcessPoolExecutor
+
+    key = (id(dataset), process_workers)
+    pool = _PROC_POOLS.get(key)
+    if pool is None:
+        pool = ProcessPoolExecutor(
+            process_workers, mp_context=mp.get_context("fork"),
+            initializer=_worker_init, initargs=(dataset,),
+        )
+        _PROC_POOLS[key] = pool
+        weakref.finalize(dataset, _shutdown_proc_pool, key)
+    return pool
+
+
+def _shutdown_proc_pool(key) -> None:
+    pool = _PROC_POOLS.pop(key, None)
+    if pool is not None:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
                    keys: Sequence[str] | None = None,
-                   num_workers: int = 4) -> Iterator[dict]:
+                   num_workers: int = 4,
+                   process_workers: int = 0) -> Iterator[dict]:
     """One epoch of stacked-dict batches from an indexable dataset.
 
-    ``num_workers`` threads decode items and assemble batches ahead of the
-    consumer (the reference drives CMR data through 4 DataLoader workers,
-    ``run_reconstruction.py``)."""
+    ``num_workers`` threads assemble batches ahead of the consumer; with
+    ``process_workers > 0`` the per-item decode additionally fans out to
+    that many forked worker processes (the reference drives CMR data
+    through 4 DataLoader worker PROCESSES, ``run_reconstruction.py`` — the
+    PIL codec path is GIL-bound, so threads alone cannot scale it).  The
+    workers must not touch jax; they only run numpy/PIL dataset code."""
     from im23d_tpu.data.prefetch import prefetched_batches
 
     rng = np.random.RandomState(seed)
@@ -274,11 +326,22 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
         if len(order[start : start + batch_size]) > 0
     ]
 
+    proc_pool = (
+        _dataset_proc_pool(dataset, process_workers)
+        if process_workers > 0 else None
+    )
+
     def build(idx):
-        items = [
-            item_at(int(i), epoch) if item_at is not None else dataset[int(i)]
-            for i in idx
-        ]
+        if proc_pool is not None:
+            items = list(
+                proc_pool.map(_worker_item, [(int(i), epoch) for i in idx])
+            )
+        else:
+            items = [
+                item_at(int(i), epoch) if item_at is not None
+                else dataset[int(i)]
+                for i in idx
+            ]
         batch = {}
         for k in items[0]:
             if keys is not None and k not in keys:
@@ -290,4 +353,6 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                 batch[k] = np.stack(vals)
         return batch
 
+    # the proc pool (if any) is persistent and owned by the dataset — it is
+    # shut down when the dataset is garbage collected, not per epoch
     yield from prefetched_batches(index_batches, build, num_workers)

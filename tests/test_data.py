@@ -278,3 +278,18 @@ def test_databunch_real_layout(tmp_path):
                       use_camera=False)
     nb = next(nocam.train_iter(num_prefetch=1))
     assert nb["pose_input"].shape == (2 * 3, 32, 32, 3)
+
+
+def test_process_workers_match_serial(tmp_path):
+    """process_workers decode in forked workers; batches must equal the
+    serial path bit-for-bit (items are pure in (seed, epoch, index))."""
+    ds = _make_fake_cmr(str(tmp_path))
+    ds.jitter_frac = 0.05
+    serial = list(batch_iterator(ds, 2, seed=3, num_workers=1))
+    forked = list(batch_iterator(ds, 2, seed=3, num_workers=1,
+                                 process_workers=2))
+    assert len(serial) == len(forked)
+    for a, b in zip(serial, forked):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -120,7 +120,7 @@ class PseudoGTDataset:
         pool = cls._npz_pool
         return pool.get(pool.submit(path), path)
 
-    def load_pseudo_ground_truth(self, idx: int) -> dict:
+    def load_pseudo_ground_truth(self, idx: int, with_image: bool = True) -> dict:
         res = self.texture_resolution
         raw = self._load_npz(
             os.path.join(self.cache_dir, f"pseudogt_{res}x{res}", f"{idx}.npz")
@@ -128,12 +128,16 @@ class PseudoGTDataset:
         # cache layout is NCHW fp16 -> NHWC; textures stay fp16 on the host
         # (half the host->device traffic; the trainer casts on device)
         to_nhwc = lambda a: np.ascontiguousarray(np.asarray(a).transpose(1, 2, 0))
-        return {
-            "image": to_nhwc(raw["image"][:3]).astype(np.float32) / 2.0 + 0.5,
+        out = {
             "texture": to_nhwc(raw["texture"]),
             "texture_alpha": to_nhwc(raw["texture_alpha"]),
             "mesh": to_nhwc(raw["mesh"]),
         }
+        if with_image:
+            # float32 view of the photo — only eval/viz consumers need it
+            # (the GAN train path drops it, so skip the ~3 MB convert there)
+            out["image"] = to_nhwc(raw["image"][:3]).astype(np.float32) / 2.0 + 0.5
+        return out
 
     def set_epoch(self, epoch: int) -> None:
         """Advance the per-item augmentation streams (one call per epoch).
@@ -156,8 +160,7 @@ class PseudoGTDataset:
         """Like ``__getitem__`` but with the augmentation epoch passed
         explicitly — a pure function of (seed, epoch, idx), safe for
         concurrent iterators over the same dataset object."""
-        item = self.load_pseudo_ground_truth(idx)
-        del item["image"]
+        item = self.load_pseudo_ground_truth(idx, with_image=False)
         rng = self._item_rng(idx, epoch)
         mirror = self.augment and not self.evaluate and rng.integers(2) == 1
         e = (
@@ -255,8 +258,10 @@ class Pascal3DGANDataset(PseudoGTDataset):
         }
         return mapping, (len(sh), len(c1), len(c2))
 
-    def load_pseudo_ground_truth(self, idx: int) -> dict:
-        return super().load_pseudo_ground_truth(self.imagenet_indices[idx])
+    def load_pseudo_ground_truth(self, idx: int, with_image: bool = True) -> dict:
+        return super().load_pseudo_ground_truth(
+            self.imagenet_indices[idx], with_image
+        )
 
     def name(self):
         return "p3d"

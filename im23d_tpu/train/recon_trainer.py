@@ -410,17 +410,23 @@ class ReconTrainer:
                           pseudogt_resolution: int = 512,
                           inception_resolution: int = 299,
                           paths: list | None = None,
-                          val_loader=None) -> None:
+                          val_loader=None,
+                          renderer_resolution: int | None = None) -> None:
         """Write the pseudo-gt cache (reference ``:499-658``): per-image npz
         {mesh, texture, texture_alpha, image} fp16 in NCHW layout +
         poses_metadata.npz + precomputed FID stats, matching the reference
-        file format so caches interoperate."""
+        file format so caches interoperate.
+
+        ``renderer_resolution`` overrides the visibility/inverse render
+        resolution (reference pins ``max(1024, 2 * pseudogt_res)``,
+        ``run_reconstruction.py:506-529``); small CI configs pass a lower
+        value to keep the CPU rasterizer cheap."""
         from im23d_tpu.metrics.fid import calculate_stats
         from im23d_tpu.metrics.inception import init_inception
         from im23d_tpu.render.inverse import inverse_render
 
         cfg = self.cfg
-        renderer_res = max(1024, 2 * pseudogt_resolution)
+        renderer_res = renderer_resolution or max(1024, 2 * pseudogt_resolution)
         pseudogt_dir = os.path.join(
             cache_dir, f"pseudogt_{pseudogt_resolution}x{pseudogt_resolution}"
         )

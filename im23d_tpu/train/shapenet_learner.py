@@ -307,34 +307,49 @@ class ShapeNetLearner:
                     self.save()
         return {k: float(v) for k, v in losses.items()}
 
+    def _grid_fn(self):
+        """Jitted projection-grid renderer, built once and cached.
+
+        An unjitted model apply runs op-by-op (hundreds of RPC round trips
+        on a remote TPU — measured ~3 min for one grid at the chairs
+        config); jitting makes the periodic grid a single executable.
+        """
+        if getattr(self, "_grid_jit", None) is not None:
+            return self._grid_jit
+
+        from im23d_tpu.losses.effective import unsupervised_loss
+        from im23d_tpu.ops.sampling import resize_bilinear
+
+        def grid(state, batch):
+            nb = self._normalize(batch)
+            out = self.model.apply(
+                state.params, nb["images"], nb["pose_input"]
+            )
+            _, sigma = self._schedules(state.step)
+            _, aux = unsupervised_loss(
+                out, nb["masks"], sigma, None, self.cfg.num_views,
+                voxel_size=self.cfg.voxel_size, training=False,
+            )
+            proj = aux["projection"][:8]
+            masks_s = resize_bilinear(
+                nb["masks"][:8], proj.shape[1], proj.shape[2]
+            )
+            return proj, masks_s
+
+        self._grid_jit = jax.jit(grid)
+        return self._grid_jit
+
     def log_projection_grid(self, batch, step: int) -> None:
         """Render the current student projections next to the target masks
         (reference ``generate_image_projections``, ``:115-134``)."""
         import numpy as np
 
-        from im23d_tpu.losses.effective import unsupervised_loss
-
-        nb = self._normalize(batch)
-        out = self.state.apply_fn(
-            self.state.params, nb["images"], nb["pose_input"]
-        )
-        _, sigma = self._schedules(self.state.step)
-        _, aux = unsupervised_loss(
-            out, nb["masks"], sigma, None, self.cfg.num_views,
-            voxel_size=self.cfg.voxel_size, training=False,
-        )
-        proj = np.asarray(aux["projection"])[:8]
-        masks = np.asarray(
-            jax.device_get(nb["masks"])
-        )[:8]
+        proj, masks_s = jax.device_get(self._grid_fn()(self.state, batch))
         # target masks on the top row, projections below
-        from im23d_tpu.ops.sampling import resize_bilinear
-
-        masks_s = np.asarray(
-            resize_bilinear(jnp.asarray(masks), proj.shape[1], proj.shape[2])
-        )
         self.logger.log_images(
-            step, "renders", np.concatenate([masks_s, proj], axis=0), nrow=8
+            step, "renders",
+            np.concatenate([np.asarray(masks_s), np.asarray(proj)], axis=0),
+            nrow=8,
         )
 
     def evaluate(self, valid_batches) -> dict:

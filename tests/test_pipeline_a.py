@@ -248,6 +248,23 @@ def test_fit_loop_with_synthetic_data(tmp_path):
     assert int(learner.state.step) == 5
 
 
+def test_projection_grid_logging(tmp_path):
+    # the periodic grid must come from the cached jitted renderer (an
+    # unjitted apply is hundreds of RPC round trips on a remote TPU) and
+    # write masks-on-top / projections-below PNG grids
+    cfg = tiny_config()
+    learner = ShapeNetLearner(
+        cfg, workdir=str(tmp_path), mesh=make_mesh(jax.devices()[:1])
+    )
+    batch = learner.put_batch(tiny_batch(cfg))
+    learner.log_projection_grid(batch, step=7)
+    assert learner._grid_fn() is learner._grid_fn()  # built once, cached
+    import os
+
+    files = os.listdir(tmp_path / "images")
+    assert files == ["renders_00000007.png"]
+
+
 def test_schedule_endpoints():
     cfg = tiny_config(total_steps=100)
     learner = ShapeNetLearner(cfg, mesh=make_mesh(jax.devices()[:1]))

@@ -31,6 +31,28 @@ def _dense(w):  # (out, in) -> (in, out)
     return np.asarray(w, np.float32).T
 
 
+def _dense_from_chw(w, c: int, h: int, wd: int):
+    """Linear consuming a flattened feature map: torch flattens (C, H, W),
+    flax NHWC flattens (H, W, C) — permute the kernel's input rows."""
+    w = np.asarray(w, np.float32)  # (out, C*H*W)
+    w = w.reshape(w.shape[0], c, h, wd).transpose(0, 2, 3, 1)
+    return w.reshape(w.shape[0], -1).T  # (H*W*C, out)
+
+
+def _dense_to_chw(w, c: int, h: int, wd: int):
+    """Linear whose output is reshaped to a feature map: torch views the
+    output as (C, H, W), flax NHWC views it as (H, W, C) — permute the
+    kernel's output columns (and the bias) accordingly."""
+    w = np.asarray(w, np.float32)  # (out=C*H*W, in)
+    w = w.reshape(c, h, wd, w.shape[1]).transpose(1, 2, 0, 3)
+    return w.reshape(-1, w.shape[3]).T  # (in, H*W*C)
+
+
+def _vec_to_chw(b, c: int, h: int, wd: int):
+    b = np.asarray(b, np.float32).reshape(c, h, wd)
+    return b.transpose(1, 2, 0).reshape(-1)
+
+
 def _put(tree: dict, path: list[str], leaf) -> None:
     node = tree
     for p in path[:-1]:
@@ -62,12 +84,19 @@ def convert_reconstruction(sd: Mapping) -> dict:
     for i in range(5):
         _put(params, [f"Conv_{i}", "kernel"], _conv(sd[f"conv{i+1}e.weight"]))
         _bn(sd, f"bn{i+1}e", params, stats, [f"BatchNorm_{i}"])
-    _put(params, ["Dense_0", "kernel"], _dense(sd["fc1e.weight"]))
+    # fc1e consumes the flattened (B, 64, 8, 8) encoder map: permute its
+    # input rows from torch's CHW-flatten to the NHWC HWC-flatten
+    _put(params, ["Dense_0", "kernel"], _dense_from_chw(sd["fc1e.weight"], 64, 8, 8))
     _bn(sd, "bnfc1e", params, stats, ["BatchNorm_5"])
     _put(params, ["Dense_1", "kernel"], _dense(sd["fc3e.weight"]))
     _bn(sd, "bnfc3e", params, stats, ["BatchNorm_6"])
-    _put(params, ["Dense_2", "kernel"], _dense(sd["fc1_tex.weight"]))
-    _put(params, ["Dense_2", "bias"], np.asarray(sd["fc1_tex.bias"], np.float32))
+    # fc1_tex's output is viewed as a (256, 4, base_w) CHW map
+    # (``reconstruction.py:117``); flax reshapes (4, base_w, 256)
+    base_w = np.asarray(sd["fc1_tex.weight"]).shape[0] // (256 * 4)
+    _put(params, ["Dense_2", "kernel"],
+         _dense_to_chw(sd["fc1_tex.weight"], 256, 4, base_w))
+    _put(params, ["Dense_2", "bias"],
+         _vec_to_chw(sd["fc1_tex.bias"], 256, 4, base_w))
 
     def resblock(torch_name: str, flax_name: str):
         # flax auto-names follow creation order: the 1x1 shortcut (when the
@@ -157,7 +186,12 @@ def convert_generator(sd: Mapping, has_mesh_head: bool = True) -> dict:
         cond_norm(f"{tname}.norm1", [fname, "norm1"])
         cond_norm(f"{tname}.norm2", [fname, "norm2"])
 
-    dense("fc", ["fc"])
+    # fc's output is viewed as a (512, 8, W) CHW base map (``gan.py:385``);
+    # flax reshapes (8, W, 512) — permute output columns + bias
+    w_fc = np.asarray(sd["fc.weight"])
+    base_w = w_fc.shape[0] // (512 * 8)
+    _put(params, ["fc", "kernel"], _dense_to_chw(w_fc, 512, 8, base_w))
+    _put(params, ["fc", "bias"], _vec_to_chw(sd["fc.bias"], 512, 8, base_w))
     embed("emb_class", ["emb_class"])
     embed("emb_color", ["emb_color"])
     for tname, fname in [
@@ -172,6 +206,108 @@ def convert_generator(sd: Mapping, has_mesh_head: bool = True) -> dict:
             _put(params, [fname, "kernel"], _conv(sd[f"{tname}.weight"]))
             _put(params, [fname, "bias"], np.asarray(sd[f"{tname}.bias"], np.float32))
     return {"params": params, "batch_stats": stats}
+
+
+def convert_discriminator(sd: Mapping) -> dict:
+    """Reference ``MultiScaleDiscriminator`` state dict -> flax variables.
+
+    Reference structure (``code/models/gan.py:235-260``): ``d1`` (full-res
+    TextureDiscriminator, convs ``conv1..conv5``), ``d2`` (MeshDiscriminator
+    ``conv1..conv4`` or a downsampled TextureDiscriminator when
+    ``texture_only``), optional ``d3``.  All convs are spectral-norm wrapped;
+    ``norm_d='instance'`` adds affine InstanceNorm params (``bn2..bn4`` ->
+    flax GroupNorm(group_size=1) scale/bias); projection conditioning adds
+    ``projector``/``projector_col1`` embeddings.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def sn_conv(tname: str, dname: str, idx: int):
+        w = sd.get(f"{tname}.weight_orig", sd.get(f"{tname}.weight"))
+        _put(params, [dname, f"Conv_{idx}", "kernel"], _conv(w))
+        if f"{tname}.bias" in sd:
+            _put(params, [dname, f"Conv_{idx}", "bias"],
+                 np.asarray(sd[f"{tname}.bias"], np.float32))
+        if f"{tname}.weight_u" in sd:
+            u = np.asarray(sd[f"{tname}.weight_u"], np.float32)[None]
+            _put(stats, [dname, f"SpectralNorm_{idx}",
+                         f"Conv_{idx}/kernel/u"], u)
+            _put(stats, [dname, f"SpectralNorm_{idx}",
+                         f"Conv_{idx}/kernel/sigma"], np.ones((), np.float32))
+
+    for d in ("d1", "d2", "d3"):
+        if f"{d}.conv1.weight_orig" not in sd and f"{d}.conv1.weight" not in sd:
+            continue
+        n_convs = 5 if f"{d}.conv5.weight_orig" in sd or f"{d}.conv5.weight" in sd else 4
+        for i in range(n_convs):
+            sn_conv(f"{d}.conv{i + 1}", d, i)
+        for bn in ("bn2", "bn3", "bn4"):
+            if f"{d}.{bn}.weight" in sd:  # affine InstanceNorm -> GroupNorm
+                _put(params, [d, bn, "scale"],
+                     np.asarray(sd[f"{d}.{bn}.weight"], np.float32))
+                _put(params, [d, bn, "bias"],
+                     np.asarray(sd[f"{d}.{bn}.bias"], np.float32))
+        for emb in ("projector", "projector_col1"):
+            if f"{d}.{emb}.weight" in sd:
+                _put(params, [d, emb, "embedding"],
+                     np.asarray(sd[f"{d}.{emb}.weight"], np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_pointcloud_encoder(sd: Mapping, image_size: int) -> dict:
+    """Reference Pipeline-A ``Encoder`` state dict -> flax variables.
+
+    Reference structure (``code/models/encoder.py:17-43``): nine
+    bias+ReLU convs (``network_architecture.{i}.0``; each
+    ``BasicBlocks.convolutional`` is Sequential(conv, act, norm) with
+    Identity norm when bias=True) then Flatten -> Linear -> ReLU -> Linear
+    (``features.{1,3}``).  The first Linear's input ordering differs by
+    layout: torch flattens (C, H, W), flax NHWC flattens (H, W, C) — its
+    kernel rows are permuted accordingly.
+    """
+    params: dict = {}
+    for i in range(9):
+        pre = f"network_architecture.{i}.0"
+        _put(params, [f"Conv_{i}", "kernel"], _conv(sd[f"{pre}.weight"]))
+        _put(params, [f"Conv_{i}", "bias"],
+             np.asarray(sd[f"{pre}.bias"], np.float32))
+    ch = np.asarray(sd["network_architecture.8.0.weight"]).shape[0]
+    hw = image_size // 32  # five stride-2 convs
+    w = np.asarray(sd["features.1.weight"], np.float32)  # (1024, C*H*W)
+    w = w.reshape(w.shape[0], ch, hw, hw).transpose(0, 2, 3, 1)
+    _put(params, ["Dense_0", "kernel"], w.reshape(w.shape[0], -1).T)
+    _put(params, ["Dense_0", "bias"],
+         np.asarray(sd["features.1.bias"], np.float32))
+    _put(params, ["Dense_1", "kernel"], _dense(sd["features.3.weight"]))
+    _put(params, ["Dense_1", "bias"],
+         np.asarray(sd["features.3.bias"], np.float32))
+    return {"params": params}
+
+
+def convert_pose_decoder(sd: Mapping, num_candidates: int) -> dict:
+    """Reference ``PoseDecoder`` state dict -> flax variables.
+
+    Mapping (``code/models/pose_decoder.py:29-43`` /
+    ``basic_blocks.py:36-49``): ``ensemble_of_pose_regressors.0`` ->
+    ``ensemble_trunk``; ``predictors.{k}.{0,2,4}`` -> ``head_{k}.Dense_{0,1,2}``;
+    ``student_predictor.0`` -> ``student_trunk``; ``student_predictor.2.{0,2,4}``
+    -> ``student_head.Dense_{0,1,2}``.
+    """
+    params: dict = {}
+
+    def linear(tname: str, fpath: list[str]) -> None:
+        _put(params, fpath + ["kernel"], _dense(sd[f"{tname}.weight"]))
+        _put(params, fpath + ["bias"],
+             np.asarray(sd[f"{tname}.bias"], np.float32))
+
+    linear("ensemble_of_pose_regressors.0", ["ensemble_trunk"])
+    linear("student_predictor.0", ["student_trunk"])
+    for j, idx in enumerate((0, 2, 4)):
+        linear(f"student_predictor.2.{idx}", ["student_head", f"Dense_{j}"])
+    for k in range(num_candidates):
+        for j, idx in enumerate((0, 2, 4)):
+            linear(f"predictors.{k}.{idx}", [f"head_{k}", f"Dense_{j}"])
+    return {"params": params}
 
 
 def convert_text_encoder(sd: Mapping):

@@ -37,6 +37,9 @@ from im23d_tpu.ops.voxel import (
 
 _FORCE_PALLAS_PROJECTION = False  # tests: exercise the fused path off-TPU
 # (interpret mode)
+_DISABLE_WINNER_REUSE = False  # diagnostics: fall back to re-projecting the
+# argmin winners with a fresh forward kernel instead of reusing the sweep's
+# silhouettes/sorted rows
 
 
 def _use_pallas_projection() -> bool:
@@ -172,7 +175,8 @@ def unsupervised_loss(
     # (projection_silhouette_reuse), so "re-projection" costs only the
     # backward kernel on B*V rows — no second forward, no second sort.
     quats = ensemble_q.reshape(B, V * K, 4)
-    use_reuse = scale is not None and _use_pallas_projection()
+    use_reuse = (scale is not None and _use_pallas_projection()
+                 and not _DISABLE_WINNER_REUSE)
     if use_reuse:
         cam, w, sc = _candidate_cam(
             jax.lax.stop_gradient(cloud),

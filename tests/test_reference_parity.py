@@ -1,0 +1,557 @@
+"""Cross-framework parity: this framework vs the REAL reference (torch CPU).
+
+Every test drives the actual reference module from /root/reference/code and
+the framework implementation with IDENTICAL inputs (and, for networks,
+IDENTICAL converted weights via core/torch_convert) and asserts forward
+equality.  This is the BASELINE north-star check ("outputs matching the
+PyTorch reference") at code level; weight-level parity additionally needs the
+pretrained .pth blobs, which are absent from the reference checkout
+(/root/reference/.MISSING_LARGE_BLOBS).
+
+Layout convention: torch is NCHW, this framework is NHWC; tests transpose at
+the boundary.  Quaternions are wxyz in both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.reference_modules import import_flat, import_refcode  # noqa: E402
+
+ATOL = 1e-5
+
+
+def _t(x):  # numpy -> torch
+    return torch.from_numpy(np.asarray(x))
+
+
+def _nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+def _nhwc(x):
+    return np.transpose(np.asarray(x), (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# rendering/utils.py: qrot / qmul / circpad / symmetrize / adjust_poles /
+# grid_sample (reference rendering/utils.py:6-64)
+# ---------------------------------------------------------------------------
+
+
+def test_qrot_parity():
+    from im23d_tpu.ops.quaternion import qrot
+
+    rutils = import_flat("rendering.utils")
+    rng = np.random.RandomState(0)
+    q = rng.randn(6, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    v = rng.randn(6, 50, 3).astype(np.float32)
+    ref = rutils.qrot(_t(q), _t(v)).numpy()
+    ours = np.asarray(qrot(jnp.array(q), jnp.array(v)))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_qmul_parity():
+    from im23d_tpu.ops.quaternion import qmul
+
+    rutils = import_flat("rendering.utils")
+    rng = np.random.RandomState(1)
+    q = rng.randn(7, 4).astype(np.float32)
+    r = rng.randn(7, 4).astype(np.float32)
+    ref = rutils.qmul(_t(q), _t(r)).numpy()
+    ours = np.asarray(qmul(jnp.array(q), jnp.array(r)))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_texture_utils_parity():
+    from im23d_tpu.ops.sampling import adjust_poles, circpad, symmetrize_texture
+
+    rutils = import_flat("rendering.utils")
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)  # NCHW for torch
+    xh = jnp.array(_nhwc(x))
+
+    np.testing.assert_allclose(
+        _nchw(circpad(xh, 2)), rutils.circpad(_t(x), 2).numpy(), atol=0
+    )
+    # symmetrize doubles W: reference operates on the half-width map
+    half = x[:, :, :, :4]
+    np.testing.assert_allclose(
+        _nchw(symmetrize_texture(jnp.array(_nhwc(half)))),
+        rutils.symmetrize_texture(_t(half)).numpy(),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        _nchw(adjust_poles(xh)), rutils.adjust_poles(_t(x)).numpy(), atol=ATOL
+    )
+
+
+def test_positional_encoding_parity():
+    from im23d_tpu.models.gan import positional_encoding
+
+    ref_gan = import_flat("models.gan")
+    for ny, nx in ((16, 16), (16, 8)):  # full and symmetric variants
+        ref = ref_gan.positional_encoding(ny, nx)  # (4, H, W')
+        ours = positional_encoding(ny, nx)  # (H, W', 4)
+        np.testing.assert_allclose(
+            np.transpose(ours, (2, 0, 1)), ref, atol=ATOL
+        )
+
+
+def test_grid_sample_bilinear_parity():
+    from im23d_tpu.ops.sampling import grid_sample_bilinear
+
+    rutils = import_flat("rendering.utils")
+    rng = np.random.RandomState(3)
+    img = rng.randn(2, 3, 9, 7).astype(np.float32)
+    grid = (rng.rand(2, 5, 6, 2).astype(np.float32) - 0.5) * 1.9
+    ref = rutils.grid_sample_bilinear(_t(img), _t(grid)).numpy()
+    ours = grid_sample_bilinear(jnp.array(_nhwc(img)), jnp.array(grid))
+    np.testing.assert_allclose(_nchw(ours), ref, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# quaternions/: operations + point rotation (operations.py, points_quaternions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quaternion_operations_parity():
+    from im23d_tpu.ops.quaternion import qadd, qconj, qmul, qsquare, qsub
+
+    ops = import_flat("quaternions.operations").QuaternionOperations()
+    rng = np.random.RandomState(4)
+    q1 = rng.randn(5, 4).astype(np.float32)
+    q2 = rng.randn(5, 4).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(qadd(jnp.array(q1), jnp.array(q2))),
+        ops.quaternion_addition(_t(q1), _t(q2)).numpy(), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(qsub(jnp.array(q1), jnp.array(q2))),
+        ops.quaternion_subtraction(_t(q1), _t(q2)).numpy(), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(qmul(jnp.array(q1), jnp.array(q2))),
+        ops.quaternion_multiplication(_t(q1), _t(q2)).numpy(), atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(qconj(jnp.array(q1))),
+        ops.quaternion_conjugate(_t(q1)).numpy(), atol=0)
+    # reference quaternion_square is uncallable on tensors (math.pow on the
+    # scalar part yields a float that torch.stack rejects) — validate ours
+    # against the q*q identity through the reference multiplication instead
+    np.testing.assert_allclose(
+        np.asarray(qsquare(jnp.array(q1))),
+        ops.quaternion_multiplication(_t(q1), _t(q1)).numpy(), atol=ATOL)
+
+
+def test_rotate_points_parity():
+    from im23d_tpu.ops.quaternion import qrot_points
+
+    pq = import_flat("quaternions.points_quaternions")
+    rot = pq.PointsQuaternionsRotator()
+    rng = np.random.RandomState(5)
+    pts = rng.randn(3, 40, 3).astype(np.float32)
+    q = rng.randn(3, 4).astype(np.float32)
+    for inverse in (False, True):
+        ref = rot.rotate_points(_t(pts), _t(q), inverse).numpy()
+        ours = np.asarray(
+            qrot_points(jnp.array(pts), jnp.array(q), inverse=inverse)
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# camera + effective-loss substrate (non-buggy sub-ops)
+# ---------------------------------------------------------------------------
+
+
+def test_camera_transform_parity():
+    from im23d_tpu.ops.camera import world_to_camera
+
+    cam = import_refcode("camera.coordinate_system_transformation")
+    util = cam.CameraUtilities()
+    rng = np.random.RandomState(6)
+    # batch of exactly 3: the reference points_to_quaternions asserts
+    # len(points) == 3 (it confuses the batch axis with the coordinate
+    # axis, points_quaternions.py:23), so it only runs at B == 3
+    pts = (rng.rand(3, 30, 3).astype(np.float32) - 0.5)
+    q = rng.randn(3, 4).astype(np.float32)
+    ref = util.transformation_3d_coord_to_camera_coord(
+        _t(pts), _t(q), field_of_view=1.875, camera_view_distance=2.0
+    ).numpy()
+    ours = np.asarray(world_to_camera(jnp.array(pts), jnp.array(q)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_termination_probs_parity():
+    from im23d_tpu.ops.voxel import termination_probs
+
+    elf = import_refcode("utils.effective_loss_function")
+    loss_mod = elf.EffectiveLossFunction(voxel_size=16)
+    rng = np.random.RandomState(7)
+    vox = rng.rand(3, 16, 16, 16).astype(np.float32)
+    ref = loss_mod.termination_probs(_t(vox)).numpy()
+    ours = np.asarray(termination_probs(jnp.array(vox)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_gaussian_kernel_parity():
+    """Tap-position parity with the reference kernel, modulo its sign bug.
+
+    ``separate_kernels`` computes ``exp(pow(-x, 2) / (2 sigma^2))`` — builtin
+    ``pow(-x, 2)`` is x^2, so the exponent is POSITIVE: an inverted
+    "Gaussian" peaked at the window ends (``smooth_voxels.py:29``).  We
+    implement the intended ``exp(-x^2 / (2 sigma^2))``.  Since the
+    unnormalized taps are exact reciprocals, the elementwise product of the
+    two normalized kernels must be constant — which also pins our tap
+    positions to the reference's ``arange(a+1, b+1)`` grid exactly.
+    """
+    from im23d_tpu.ops.voxel import gaussian_kernel_1d
+
+    sv = import_refcode("utils.smooth_voxels")
+    vs = sv.VoxelsSmooth()
+    for sigma in (0.9, 1.7, 3.0):
+        ref = vs.separate_kernels(torch.tensor(sigma), kernel_size=21)[0]
+        ref = ref.numpy().reshape(-1).astype(np.float64)
+        ours = np.asarray(gaussian_kernel_1d(jnp.float32(sigma), 21),
+                          np.float64)
+        prod = ref * ours
+        np.testing.assert_allclose(prod, prod[10], rtol=1e-4)
+        # and ours is an actual normalized center-peaked Gaussian
+        assert abs(ours.sum() - 1.0) < 1e-6
+        np.testing.assert_allclose(ours, ours[::-1], atol=1e-7)
+        assert ours.argmax() == 10
+
+
+def _corrected_reference_kernels(vs, sigma, kernel_size=21):
+    """Reference ``separate_kernels`` with its sign bug fixed.
+
+    ``separate_kernels`` computes ``exp(pow(-x, 2) / (2 sigma^2))`` — builtin
+    ``pow(-x, 2)`` is x^2, so the reference taps are an inverted "Gaussian"
+    peaked at the window ends (``smooth_voxels.py:29``).  The rebuild
+    implements the intent, so the conv-machinery parity check feeds the
+    intended taps (same arange grid, same views) through the reference
+    ``smooth``.  Tap-position parity with the buggy original is pinned
+    separately by test_gaussian_kernel_parity.
+    """
+    buggy = vs.separate_kernels(torch.tensor(sigma), kernel_size)
+    a, b = (-kernel_size // 2, kernel_size // 2)
+    x = torch.arange(a + 1.0, b + 1.0)
+    k = torch.exp(-(x**2) / (2 * sigma**2))
+    k = k / k.sum()
+    return [k.view(*kb.shape) for kb in buggy]
+
+
+def test_gaussian_blur_3d_parity():
+    """Our separable blur vs the reference conv3d applied once per axis.
+
+    The reference ``smooth`` loop feeds the ORIGINAL input to every conv3d
+    (``smooth_voxels.py:66-78``) so calling it with all three kernels only
+    applies the last one; chaining three single-kernel calls produces the
+    blur it intends, which is what our ``gaussian_blur_3d`` implements
+    (scale multiply + clamp on the final call).  Taps are the
+    intent-corrected Gaussian (see _corrected_reference_kernels); the
+    reference's conv path (padding placement, per-axis order, scale + clamp)
+    is exercised verbatim.
+    """
+    from im23d_tpu.ops.voxel import gaussian_blur_3d
+
+    sv = import_refcode("utils.smooth_voxels")
+    vs = sv.VoxelsSmooth()
+    rng = np.random.RandomState(8)
+    B, S, sigma = 2, 24, 1.3
+    vox = rng.rand(B, S, S, S).astype(np.float32)
+    scale = (rng.rand(B).astype(np.float32) * 2.0 + 0.2)
+
+    kernels = _corrected_reference_kernels(vs, sigma)
+    ref = _t(vox)
+    for k in kernels[:-1]:
+        ref = vs.smooth(ref, [k])
+    ref = vs.smooth(ref, [kernels[-1]], scale=_t(scale)).numpy()
+
+    ours = gaussian_blur_3d(
+        jnp.array(vox), jnp.float32(sigma), kernel_size=21,
+        scale=jnp.array(scale),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_silhouette_projection_parity():
+    """Full projection vs the reference composition of non-buggy sub-ops.
+
+    The reference ``EffectiveLossFunction.forward`` is uncallable as shipped
+    (``smooth(kernels=())`` crashes on ``None.squeeze`` — SURVEY.md §2.1 #8),
+    so compose its working pieces the way the forward intends: camera
+    transform -> trilinear scatter -> chained per-axis Gaussian blur ->
+    scale+clamp -> termination probs -> depth-sum + vertical flip, and
+    compare against our fused pipeline.
+    """
+    from im23d_tpu.ops.camera import world_to_camera
+    from im23d_tpu.ops.voxel import (
+        gaussian_blur_3d,
+        project_silhouette,
+        termination_probs,
+        trilinear_splat,
+    )
+
+    elf = import_refcode("utils.effective_loss_function")
+    sv = import_refcode("utils.smooth_voxels")
+    ti_mod = import_refcode("utils.trilinear_interpolation")
+    rng = np.random.RandomState(8)
+    # B=3: reference rotate_points only runs at batch 3 (see above);
+    # S=64: reference TrilinearInterpolation hard-codes size 64
+    B, N, S, sigma = 3, 120, 64, 2.0
+    pts = (rng.rand(B, N, 3).astype(np.float32) - 0.5) * 0.9
+    q = rng.randn(B, 4).astype(np.float32)
+    scale = rng.rand(B).astype(np.float32) * 0.5 + 0.4
+
+    cam_mod = import_refcode("camera.coordinate_system_transformation")
+    cam_ref = cam_mod.CameraUtilities().transformation_3d_coord_to_camera_coord(
+        _t(pts), _t(q), field_of_view=1.875, camera_view_distance=2.0
+    )
+    # Reference trilinear with its corner-weight bug fixed: grid_dist[0]
+    # is ``1.0 - grid - grid.floor()`` (= 1 - frac - 2*floor) instead of the
+    # intended ``1 - frac`` (``trilinear_interpolation.py:70``).  Drive the
+    # reference's scatter machinery (border culling, index shifting,
+    # accumulate, clamp) with the intended weights, exactly as the rebuild
+    # implements them.
+    ti = ti_mod.TrilinearInterpolation(size=S)
+    grid = ti.get_grid(cam_ref, cam_ref.new(3).fill_(S))
+    frac = grid - grid.floor()
+    grid_dist = [1.0 - frac, frac]
+    vox_ref = torch.stack([
+        ti.positions_update([i, j, k], grid_dist, cam_ref)
+        for i in range(2) for j in range(2) for k in range(2)
+    ]).sum(dim=0).clamp(min=0, max=1)
+    vs = sv.VoxelsSmooth()
+    kernels = _corrected_reference_kernels(vs, sigma)
+    sm = vox_ref
+    for k in kernels[:-1]:
+        sm = vs.smooth(sm, [k])
+    sm = vs.smooth(sm, [kernels[-1]], scale=_t(scale))
+    loss_mod = elf.EffectiveLossFunction(voxel_size=S)
+    probs_ref = loss_mod.termination_probs(sm)
+    ref = probs_ref[:, :-1].sum(1).flip(1).numpy()
+
+    cam = world_to_camera(jnp.array(pts), jnp.array(q))
+    vox = trilinear_splat(cam, S)
+    smooth = gaussian_blur_3d(vox, jnp.float32(sigma), kernel_size=21,
+                              scale=jnp.array(scale))
+    ours = np.asarray(project_silhouette(termination_probs(smooth)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-A networks with converted weights
+# ---------------------------------------------------------------------------
+
+
+def test_encoder_parity():
+    from im23d_tpu.core.torch_convert import convert_pointcloud_encoder
+    from im23d_tpu.models.pointcloud_nets import ConvEncoder
+
+    ref_mod = import_flat("models.encoder")
+    torch.manual_seed(0)
+    image_size = 64
+    ref = ref_mod.Encoder(image_size=image_size).eval()
+    rng = np.random.RandomState(9)
+    x = rng.rand(2, 3, image_size, image_size).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(_t(x)).numpy()
+
+    variables = convert_pointcloud_encoder(ref.state_dict(), image_size)
+    ours = ConvEncoder().apply(variables, jnp.array(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_pose_decoder_parity():
+    from im23d_tpu.core.torch_convert import convert_pose_decoder
+    from im23d_tpu.models.pointcloud_nets import PoseDecoder
+
+    ref_mod = import_flat("models.pose_decoder")
+    torch.manual_seed(1)
+    K, hidden, zdim, B = 4, 128, 96, 6
+    ref = ref_mod.PoseDecoder(zdim, hidden, K).train()
+    rng = np.random.RandomState(10)
+    z = rng.randn(B, zdim).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(_t(z)).numpy()  # (B*K + B, 4): ensemble then student
+    ref_ens = ref_out[: B * K].reshape(B, K, 4)
+    ref_student = ref_out[B * K:]
+
+    variables = convert_pose_decoder(ref.state_dict(), K)
+    ens, student = PoseDecoder(hidden=hidden, num_candidates=K).apply(
+        variables, jnp.array(z)
+    )
+    np.testing.assert_allclose(np.asarray(ens), ref_ens, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(student), ref_student, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_dataset_params_parity():
+    import types
+
+    from im23d_tpu.models.reconstruction import DatasetParams
+
+    ref_mod = import_flat("models.reconstruction")
+    torch.manual_seed(2)
+    N = 10
+    args = types.SimpleNamespace(optimize_deltas=True, optimize_z0=True)
+    ref = ref_mod.DatasetParams(args, N)
+    with torch.no_grad():
+        ref.ds_translation.copy_(torch.randn(N, 2))
+        ref.ds_scale.copy_(torch.randn(N, 1))
+        ref.ds_z0.copy_(torch.randn(N, 1))
+    idx = torch.tensor([0, 3, 9, 12, 19])  # includes mirrored (>= N)
+
+    with torch.no_grad():
+        ref_t, ref_s = ref(idx, "deltas")
+        ref_z0 = ref(idx, "z0")
+
+    params = {
+        "params": dict(
+            ds_translation=ref.ds_translation.detach().numpy(),
+            ds_scale=ref.ds_scale.detach().numpy(),
+        )
+    }
+    model = DatasetParams(dataset_size=N, optimize_deltas=True, optimize_z0=True)
+    t, s = model.apply(params, jnp.array(idx.numpy()), "deltas")
+    np.testing.assert_allclose(np.asarray(t), ref_t.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(s), ref_s.numpy(), atol=ATOL)
+    z0 = model.apply(
+        {"params": dict(ds_z0=ref.ds_z0.detach().numpy())},
+        jnp.array(idx.numpy()), "z0",
+    )
+    np.testing.assert_allclose(np.asarray(z0), ref_z0.numpy(), atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-B networks with converted weights
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_reconstruction_network_parity():
+    from im23d_tpu.core.torch_convert import convert_reconstruction
+    from im23d_tpu.models.reconstruction import ReconstructionNetwork
+
+    ref_mod = import_flat("models.reconstruction")
+    torch.manual_seed(3)
+    ref = ref_mod.ReconstructionNetwork(symmetric=True, texture_res=64,
+                                        mesh_res=32).eval()
+    # randomize BN running stats so eval-mode parity is non-trivial
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    rng = np.random.RandomState(11)
+    x = rng.rand(2, 4, 256, 256).astype(np.float32)
+    with torch.no_grad():
+        ref_tex, ref_mesh = ref(_t(x))
+
+    variables = convert_reconstruction(ref.state_dict())
+    tex, mesh = ReconstructionNetwork(symmetric=True, texture_res=64).apply(
+        variables, jnp.array(_nhwc(x)), train=False
+    )
+    np.testing.assert_allclose(
+        _nchw(tex), ref_tex.numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        _nchw(mesh), ref_mesh.numpy(), atol=2e-4, rtol=1e-4
+    )
+
+
+def _gan_args(**over):
+    import types
+
+    base = dict(
+        conditional_class=False, conditional_color=False,
+        conditional_text=False, texture_resolution=128, mesh_resolution=32,
+        n_classes=(200, 0), norm_g="batch", norm_d="none",
+        num_discriminators=2, texture_only=False, mask_output=True,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.mark.slow
+def test_generator_parity():
+    """Reference Generator vs flax Generator, identical converted weights.
+
+    Train mode on both sides: torch spectral_norm in eval uses a stale v
+    vector that the converter cannot transfer, while one power-iteration
+    step from the same u (train mode semantics on both sides, flax
+    ``update_stats=True``) is deterministic and identical.  BatchNorm then
+    normalizes with batch statistics on both sides.
+    """
+    from im23d_tpu.core.torch_convert import convert_generator
+    from im23d_tpu.models.gan import GANConfig, Generator
+
+    ref_gan = import_flat("models.gan")
+    torch.manual_seed(4)
+    args = _gan_args()
+    ref = ref_gan.Generator(args, 64, symmetric=True, mesh_head=True).train()
+    # snapshot BEFORE the forward: torch's power iteration mutates u in
+    # place during forward (even under no_grad), and the flax side must
+    # start its own single iteration from the same u
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    rng = np.random.RandomState(12)
+    z = rng.randn(4, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_tex, ref_mesh = ref(_t(z))
+
+    variables = convert_generator(sd)
+    cfg = GANConfig(texture_resolution=128, symmetric_g=True)
+    tex, mesh = Generator(cfg).apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.array(z), train=True,
+        mutable=["batch_stats"],
+    )[0]
+    np.testing.assert_allclose(
+        _nchw(tex), ref_tex.numpy(), atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        _nchw(mesh), ref_mesh.numpy(), atol=5e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.slow
+def test_discriminator_parity():
+    from im23d_tpu.core.torch_convert import convert_discriminator
+    from im23d_tpu.models.gan import GANConfig, MultiScaleDiscriminator
+
+    ref_gan = import_flat("models.gan")
+    torch.manual_seed(5)
+    args = _gan_args()
+    ref = ref_gan.MultiScaleDiscriminator(args, 4).train()
+    # snapshot BEFORE the forward (power iteration mutates u in place)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    rng = np.random.RandomState(13)
+    tex = np.tanh(rng.randn(2, 4, 128, 128)).astype(np.float32)
+    mesh = (rng.randn(2, 3, 32, 32) * 0.05).astype(np.float32)
+    with torch.no_grad():
+        ref_outs, ref_masks = ref(_t(tex), _t(mesh))
+
+    variables = convert_discriminator(sd)
+    cfg = GANConfig(texture_resolution=128)
+    outs, masks = MultiScaleDiscriminator(cfg).apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.array(_nhwc(tex)), jnp.array(_nhwc(mesh)), train=True,
+        mutable=["batch_stats"],
+    )[0]
+    assert len(outs) == len(ref_outs)
+    for ours_y, ref_y in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            _nchw(ours_y), ref_y.numpy(), atol=5e-4, rtol=1e-3
+        )
+    for ours_m, ref_m in zip(masks, ref_masks):
+        np.testing.assert_allclose(
+            _nchw(ours_m), ref_m.numpy(), atol=1e-5
+        )

@@ -27,7 +27,7 @@ def _prior_value(unit: str, metric: str | None = None):
     ``python bench.py > BENCH_rXX.json`` snapshots also count.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = None
+    prior, prior_name = None, None
     paths = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.findall(r"\d+", os.path.basename(p))[0]),
@@ -41,9 +41,10 @@ def _prior_value(unit: str, metric: str | None = None):
                 metric is None or rec.get("metric") == metric
             ):
                 prior = float(rec["value"])
+                prior_name = os.path.splitext(os.path.basename(path))[0]
         except Exception:
             pass
-    return prior
+    return prior, prior_name
 
 
 def main_gan() -> None:
@@ -82,8 +83,10 @@ def main_gan() -> None:
     trainer = GANTrainer(cfg, template=template)
     out = measure(trainer, batch)
     value = out["iter_3step_ms"]
-    prior = _prior_value("ms", "gan_512_cond_iter_time")
-    # lower is better for a time metric
+    prior, prior_name = _prior_value("ms", "gan_512_cond_iter_time")
+    # lower is better for a time metric.  "vs_baseline" is round-over-round
+    # (the reference publishes no numbers — BASELINE.md); "baseline" names
+    # the record compared against.
     vs_baseline = prior / value if prior else 1.0
     print(
         json.dumps(
@@ -92,8 +95,10 @@ def main_gan() -> None:
                 "value": value,
                 "unit": "ms",
                 "vs_baseline": round(vs_baseline, 4),
+                "baseline": prior_name or "none",
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -154,7 +159,7 @@ def main() -> None:
     dt = min(measure() for _ in range(3))
     imgs_per_sec = cfg.batch_size * n_steps / dt
 
-    prior = _prior_value("imgs/sec")
+    prior, prior_name = _prior_value("imgs/sec")
 
     vs_baseline = imgs_per_sec / prior if prior else 1.0
     print(
@@ -164,8 +169,10 @@ def main() -> None:
                 "value": round(imgs_per_sec, 3),
                 "unit": "imgs/sec",
                 "vs_baseline": round(vs_baseline, 4),
+                "baseline": prior_name or "none",
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -174,11 +181,14 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--metric", choices=("chairs", "gan"), default="chairs",
-        help="chairs = ShapeNet train throughput (driver default); "
+        "--metric", choices=("all", "chairs", "gan"), default="all",
+        help="all = GAN line then chairs line (the driver parses the LAST "
+        "JSON line -> chairs stays the headline metric; the GAN line is "
+        "recorded in the output tail); chairs = ShapeNet train throughput; "
         "gan = 512x512 conditional GAN iteration time",
     )
-    if ap.parse_args().metric == "gan":
+    choice = ap.parse_args().metric
+    if choice in ("all", "gan"):
         main_gan()
-    else:
+    if choice in ("all", "chairs"):
         main()

@@ -27,6 +27,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--pool", type=int, default=16)
+    ap.add_argument("--stream", action="store_true",
+                    help="feed a fresh host batch every step (measures the "
+                    "host->device path too; on the axon dev tunnel this "
+                    "degrades after ~500 transfers — see docs/runs/README.md "
+                    "— but on a real TPU host it is the production mode)")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -56,10 +61,16 @@ def main() -> None:
     float(learner.state.step)  # sync
     warm = time.time() - warm0
 
+    if args.stream:
+        # fresh host batches each step: exercises the real host->device feed
+        def batches():
+            while True:
+                yield learner.put_batch(data.next_batch())
+        feed = batches()
+    else:
+        feed = itertools.cycle(pool)
     t0 = time.time()
-    losses = learner.fit(
-        itertools.cycle(pool), num_steps=args.steps - 1
-    )
+    losses = learner.fit(feed, num_steps=args.steps - 1)
     dt = time.time() - t0
     imgs = cfg.batch_size * (args.steps - 1)
 
@@ -67,9 +78,17 @@ def main() -> None:
     # end-of-run projection grid + checkpoint that fit() performs at
     # eval_every, which is a once-per-13k-steps cost in production)
     loop_ips = None
+    first_proj = last_proj = None
     mpath = os.path.join(workdir, "metrics_shapenet.jsonl")
     if os.path.exists(mpath):
         recs = [json.loads(line) for line in open(mpath)]
+        # learning-trajectory evidence: a throughput number from a
+        # non-learning run is not a valid result, so the projection-loss
+        # endpoints ride along in the output
+        projs = [r["projection_loss"] for r in recs if "projection_loss" in r]
+        if projs:
+            first_proj = round(projs[0], 3)
+            last_proj = round(projs[-1], 3)
         recs = [r for r in recs if "steps_per_sec" in r]
         if len(recs) >= 2:
             span = recs[-1]["time"] - recs[0]["time"]
@@ -80,8 +99,13 @@ def main() -> None:
         "steps": args.steps,
         "warmup_s": round(warm, 1),
         "wall_s": round(dt, 1),
-        "imgs_per_sec_sustained": round(imgs / dt, 1),
-        "imgs_per_sec_loop": loop_ips,
+        "mode": "stream" if args.stream else "device_pool",
+        "imgs_per_sec_wall": round(imgs / dt, 1),  # whole run incl. the
+        # one-time end-of-run grid-jit compile + checkpoint
+        "imgs_per_sec_loop": loop_ips,  # steady-state loop from the
+        # metrics stream (excludes the end-of-run one-time costs)
+        "first_projection_loss": first_proj,
+        "last_projection_loss": last_proj,
         "final_total_loss": round(float(losses.get("total_loss", 0.0)), 3),
         "workdir": workdir,
     }))

@@ -29,6 +29,31 @@ jax.config.update("jax_enable_x64", False)
 # compiles of the big trainer graphs (GAN init ~35 s, recon step ~13 s);
 # repeat runs hit the cache and skip them.  Override the location with
 # IM23D_TEST_CACHE=/path, or disable with IM23D_TEST_CACHE=0.
+# Best-effort native loader build: the C++ npz decode pool
+# (native/fastloader.cpp) is the only compiled component; building it here
+# (seconds, cached by mtime) keeps tests/test_fastloader.py from skipping.
+def _build_fastloader() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "fastloader.cpp")
+    out = os.path.join(root, "im23d_tpu", "data", "_fastloader.so")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out,
+             "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass  # no toolchain: the fastloader tests skip as before
+
+
+_build_fastloader()
+
 _cache = os.environ.get("IM23D_TEST_CACHE", "")
 if _cache != "0":
     if not _cache:

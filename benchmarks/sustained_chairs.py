@@ -52,7 +52,9 @@ def main() -> None:
     data = SyntheticSilhouettes(
         cfg.batch_size, cfg.image_size, cfg.num_views, n_points=256, seed=0
     )
-    pool = [learner.put_batch(data.next_batch()) for _ in range(args.pool)]
+    host_batches = [data.next_batch(return_gt=True) for _ in range(args.pool)]
+    gt_clouds = [b.pop("gt_cloud") for b in host_batches]
+    pool = [learner.put_batch(b) for b in host_batches]
 
     # one compile step outside the timed window (jit warm-up is a one-time
     # cost amortized over 130k steps in production; docs/runs reports both)
@@ -95,6 +97,30 @@ def main() -> None:
             loop_ips = round(
                 cfg.batch_size * (recs[-1]["step"] - recs[0]["step"]) / span, 1
             )
+    # Chamfer vs the synthetic ground-truth clouds (BASELINE "ShapeNet
+    # Chamfer" trail): predicted clouds from the trained model on every pool
+    # batch vs the generator's true geometry
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from im23d_tpu.metrics.chamfer import chamfer_distance
+
+    @jax.jit
+    def predict(params, images, pose_input):
+        out = learner.model.apply(params, images, pose_input)
+        return out["point_cloud"]
+
+    chamfers = []
+    for hb, gt in zip(host_batches, gt_clouds):
+        nb = learner._normalize(jax.tree_util.tree_map(jnp.asarray, hb))
+        pred = predict(learner.state.params, nb["images"], nb["pose_input"])
+        total, _, _ = chamfer_distance(pred.astype(jnp.float32),
+                                       jnp.asarray(gt))
+        chamfers.append(float(jnp.mean(total)))
+    chamfer_gt = round(float(np.mean(chamfers)), 5)
+    if learner.logger is not None:
+        learner.logger.log(args.steps, {"chamfer_synthetic_gt": chamfer_gt})
+
     print(json.dumps({
         "steps": args.steps,
         "warmup_s": round(warm, 1),
@@ -106,6 +132,7 @@ def main() -> None:
         # metrics stream (excludes the end-of-run one-time costs)
         "first_projection_loss": first_proj,
         "last_projection_loss": last_proj,
+        "chamfer_synthetic_gt": chamfer_gt,
         "final_total_loss": round(float(losses.get("total_loss", 0.0)), 3),
         "workdir": workdir,
     }))

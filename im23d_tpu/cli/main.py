@@ -347,14 +347,14 @@ def main(argv=None) -> int:
                 # the sweep ranks by combined FID only (reference
                 # main.py:787-829): skip the texture/mesh-variant renders
                 fid = fid_now(variants=False)["combined"]
-                print(f"checkpoint {step}: fid/combined {fid:.3f}")
+                print(f"checkpoint {step}: {evaluator.metric_prefix}/combined {fid:.3f}")
                 if fid < best[1]:
                     best = (step, fid)
             print(f"best checkpoint: {best[0]} (fid {best[1]:.3f})")
             trainer.restore(step=best[0])
 
         for key, fid in fid_now().items():
-            print(f"fid/{key}: {fid:.3f}")
+            print(f"{evaluator.metric_prefix}/{key}: {fid:.3f}")
         return 0
 
     logger = MetricsLogger(workdir, "gan", tensorboard=args.tensorboard)
@@ -406,15 +406,16 @@ def main(argv=None) -> int:
             acts = evaluator.activations_for_batches(
                 eval_batches(), args.truncation_sigma, variants=True
             )
+            prefix = evaluator.metric_prefix
             fids = {
-                f"fid/{key}": evaluator.fid_against_stats(act, *fid_real)
+                f"{prefix}/{key}": evaluator.fid_against_stats(act, *fid_real)
                 for key, act in acts.items()
             }
             if val_stats is not None:
                 # fresh subsample per eval like the reference's unseeded
                 # np.random.choice during training (main.py:363)
                 fids.update({
-                    f"fid/{k}": v for k, v in val_fids(
+                    f"{prefix}/{k}": v for k, v in val_fids(
                         acts, val_stats, np.random.RandomState(epoch)
                     ).items()
                 })

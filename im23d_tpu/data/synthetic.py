@@ -83,7 +83,12 @@ class SyntheticSilhouettes:
 
         self._render = jax.jit(render, device=cpu)
 
-    def next_batch(self) -> dict:
+    def next_batch(self, return_gt: bool = False) -> dict:
+        """One batch; ``return_gt`` adds the ground-truth clouds under
+        'gt_cloud' (B, N, 3) for Chamfer evaluation (the synthetic generator
+        knows the true geometry — real ShapeNet needs the model .obj files,
+        which this environment lacks).  Callers must pop 'gt_cloud' before
+        feeding the trainer."""
         rng = self._rng
         B, V = self.batch_size, self.num_views
         clouds = _random_shapes(rng, B, self.n_points)
@@ -102,8 +107,12 @@ class SyntheticSilhouettes:
             # PNG-native uint8: the trainer normalizes on device (4x less
             # host->device traffic)
             q = lambda a: np.clip(a * 255.0, 0, 255).astype(np.uint8)
-            return dict(images=q(images), pose_input=q(imgs3), masks=q(masks))
-        return dict(images=images, pose_input=imgs3, masks=masks)
+            batch = dict(images=q(images), pose_input=q(imgs3), masks=q(masks))
+        else:
+            batch = dict(images=images, pose_input=imgs3, masks=masks)
+        if return_gt:
+            batch["gt_cloud"] = clouds
+        return batch
 
     def __iter__(self):
         while True:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from im23d_tpu.ops.camera import world_to_camera
+from im23d_tpu.ops.camera import world_to_camera_zyx
 from im23d_tpu.ops.quaternion import quaternion_angle_loss
 from im23d_tpu.ops.sampling import resize_bilinear
 from im23d_tpu.ops.splat_pallas import (
@@ -54,11 +54,20 @@ def _splat(points, size, weights):
 
 
 def _candidate_cam(point_cloud, rotations, scale, weights):
-    """Camera-space points + repeated weights/scale for C candidate poses."""
+    """Camera-space point planes + repeated weights/scale for C candidates.
+
+    Returns ``((z, y, x), w, sc)`` with each component (B*C, N).  Planar
+    components (not a stacked (B*C, N, 3) array) ride into the projection
+    kernels: the stack+re-slice roundtrip forced an interleaved layout AND
+    triggered an XLA:TPU fusion miscompile at sweep scale (collapsed row
+    stride — every row > 0 read garbage gz; caught by the round-3 loss
+    investigation, pinned by
+    ``tests/test_splat_pallas.py::test_candidate_sweep_in_jit_matches_eager``).
+    """
     B, N, _ = point_cloud.shape
     C = rotations.shape[1]
-    cam = world_to_camera(point_cloud[:, None], rotations)  # (B, C, N, 3)
-    cam = cam.reshape(B * C, N, 3)
+    z, y, x = world_to_camera_zyx(point_cloud[:, None], rotations)  # (B,C,N)
+    cam = tuple(g.reshape(B * C, N) for g in (z, y, x))
     w = None
     if weights is not None:
         w = jnp.repeat(weights, C, axis=0)  # (B*C, N), b-major like reshape
@@ -101,7 +110,7 @@ def project_candidates(
             need_weight_grad=False,
         )
     else:
-        vox = _splat(cam, S, w)
+        vox = _splat(jnp.stack(cam, axis=-1), S, w)
         smooth = gaussian_blur_3d(vox, sigma, kernel_size=kernel_size, scale=sc)
         sil = project_silhouette(termination_probs(smooth))
     return sil.reshape(B, C, S, S)

@@ -835,29 +835,41 @@ _proj_grid.defvjp(_proj_grid_fwd, _proj_grid_bwd)
 def _prep_projection(points, size: int, weights, border_eps: float):
     """Shared projection preprocessing: voxel-grid coords + splat weights.
 
+    ``points`` is either a (B, N, 3) array or a tuple of three (B, N)
+    component planes (z, y, x).  Callers on the hot path pass the planar
+    form (``world_to_camera_zyx``): it avoids the stack+strided-slice
+    roundtrip, which both costs an interleaved-layout copy and triggered
+    an XLA:TPU fusion miscompile at candidate-sweep scale (collapsed row
+    stride reading the broadcast cam buffer — gz silently corrupted for
+    every row > 0).
+
     Returns lane-padded (gz, gy, gx, c); culled / zero-weight points get
     zeroed coordinates so their hat windows stay benign.
     """
-    B, N, _ = points.shape
+    if isinstance(points, (tuple, list)):
+        pz, py, px = points
+    else:
+        pz, py, px = points[..., 0], points[..., 1], points[..., 2]
+    B, N = pz.shape
     S = int(size)
 
-    grid = (S - 1) * (points + 0.5)
-    in_bounds = jnp.all(
-        (points > -0.5 + border_eps) & (points < 0.5 - border_eps), axis=-1
-    )
-    c = in_bounds.astype(points.dtype)
+    lo, hi = -0.5 + border_eps, 0.5 - border_eps
+    in_bounds = ((pz > lo) & (pz < hi) & (py > lo) & (py < hi)
+                 & (px > lo) & (px < hi))
+    c = in_bounds.astype(pz.dtype)
     if weights is not None:
         c = c * weights
+    safe = (c > 0).astype(pz.dtype)
+    comps = [(S - 1) * (p + 0.5) * safe for p in (pz, py, px)]
 
     n_pad = _round_up(max(N, _LANES), _LANES)
     if n_pad != N:
         pad = [(0, 0), (0, n_pad - N)]
-        grid = jnp.pad(grid, pad + [(0, 0)])
+        comps = [jnp.pad(g, pad) for g in comps]
         c = jnp.pad(c, pad)
 
-    gz, gy, gx = grid[..., 0], grid[..., 1], grid[..., 2]
-    safe = (c > 0).astype(grid.dtype)
-    return gz * safe, gy * safe, gx * safe, c
+    gz, gy, gx = comps
+    return gz, gy, gx, c
 
 
 def _projection_band(sigma, size: int, kernel_size: int):
@@ -894,9 +906,9 @@ def projection_silhouette_pallas(
     constant (e.g. a dropout mask): the sorted path then skips carrying its
     cotangent through the backward unsort and returns zeros for it.
     """
-    B = points.shape[0]
     S = int(size)
     gz, gy, gx, c = _prep_projection(points, S, weights, border_eps)
+    B = gz.shape[0]
     band = _projection_band(sigma, S, kernel_size)
     scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
     if sorted_blocks:
@@ -1356,9 +1368,9 @@ def projection_silhouette_products(
     ``projection_silhouette_reuse``.  Callers should pass stop-gradient
     inputs (this function defines no VJP of its own).
     """
-    B = points.shape[0]
     S = int(size)
     gz, gy, gx, c = _prep_projection(points, S, weights, border_eps)
+    B = gz.shape[0]
     band = _projection_band(sigma, S, kernel_size)
     scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
     out, residuals = _proj_sorted_fwd(gz, gy, gx, c, band, scale, S,
@@ -1422,9 +1434,9 @@ def projection_silhouette_reuse(
     XLA dead-code-eliminates the unused forward recomputation of the
     camera/grid chain, so only its backward ops survive.
     """
-    B = points.shape[0]
     S = int(size)
     gz, gy, gx, c = _prep_projection(points, S, weights, border_eps)
+    B = gz.shape[0]
     band = _projection_band(sigma, S, kernel_size)
     scale = jnp.broadcast_to(scale.reshape(-1), (B,)).astype(jnp.float32)
     return _proj_sorted_reuse(gz, gy, gx, c, band, scale, sil, products,

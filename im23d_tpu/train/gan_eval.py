@@ -58,8 +58,13 @@ class FIDEvaluator:
             # skip the ~24M-param init when pretrained weights are supplied
             self.model = InceptionV3Features()
             self.variables = inception_variables
+            self.calibrated = True
         else:
             self.model, self.variables = init_inception()
+            # deterministic random-init extractor: FID numbers are self-
+            # consistent for regression tracking but NOT comparable to
+            # published scores — metric names must say so
+            self.calibrated = False
         self._render = jax.jit(
             lambda mesh_map, tex, s, t, r: render_generated(
                 template, evaluation_res, mesh_map, tex, s, t, r
@@ -113,6 +118,12 @@ class FIDEvaluator:
                 acts["mesh_only"].append(np.asarray(self._act(img_m))[:n])
             i += 1
         return {k: np.concatenate(v, axis=0) for k, v in acts.items() if v}
+
+    @property
+    def metric_prefix(self) -> str:
+        """'fid' with real pretrained weights, 'fid_uncalibrated' with the
+        deterministic random-init extractor (regression-only numbers)."""
+        return "fid" if self.calibrated else "fid_uncalibrated"
 
     @staticmethod
     def fid_against_stats(activations: np.ndarray, m_real, s_real) -> float:

@@ -107,8 +107,11 @@ def test_gan_cli_train_eval_export(tmp_path, monkeypatch):
     ]
     keys = set().union(*(r.keys() for r in records))
     assert "g_loss" in keys and "d_fake" in keys
-    assert {"fid/combined", "fid/texture_only", "fid/mesh_only",
-            "fid/combined_val"} <= keys
+    # no --inception_weights in this run -> the random-init extractor is
+    # used and the metric name must say the numbers are uncalibrated
+    assert {"fid_uncalibrated/combined", "fid_uncalibrated/texture_only",
+            "fid_uncalibrated/mesh_only",
+            "fid_uncalibrated/combined_val"} <= keys
 
     # sample grids were rendered
     images = os.listdir(workdir / "images")

@@ -295,3 +295,44 @@ def test_unsupervised_loss_pallas_path_matches_xla():
             np.asarray(g_pal[key]), np.asarray(g_ref[key]),
             atol=2e-2 * max(1.0, float(jnp.abs(g_ref[key]).max())),
         )
+
+
+def test_candidate_sweep_in_jit_matches_eager():
+    """jit(candidate_cam + sorted projection sweep) == the same eagerly.
+
+    Regression for an XLA:TPU fusion miscompilation found in round 3: with
+    the candidate broadcast (cloud[:, None] -> (B, C, N, 3) -> reshape) and
+    the projection's strided component slice fused into one executable, the
+    gz plane was read with a collapsed row stride — rows 1/2 read
+    cam[0, i, 1|2] and rows >= 3 read values present NOWHERE in the real
+    buffer, silently corrupting every candidate silhouette (the chairs_2k_v3
+    run trained on garbage, projection loss flat at ~70).  The fix routes
+    planar (z, y, x) components from world_to_camera_zyx into
+    _prep_projection with no stack+re-slice.  On CPU/interpret this is a
+    cheap jit-vs-eager consistency check; on a real TPU it is the actual
+    hardware regression test (run there when kernels change).
+    """
+    from im23d_tpu.losses import effective as eff
+    from im23d_tpu.ops.splat_pallas import projection_silhouette_products
+
+    S, N, B, C = 16, 640, 6, 20
+    rng = np.random.RandomState(0)
+    cloud = jnp.array((rng.rand(B, N, 3) - 0.5) * 0.02, jnp.float32)
+    q = jnp.array(rng.randn(B, C, 4).astype(np.float32))
+    scale = jnp.array(rng.rand(B, 1) * 0.1 + 0.45, jnp.float32)
+    kw = np.zeros((B, N), np.float32)
+    kw[:, : N // 4] = 1.0
+    kw = jnp.array(kw)
+
+    def sweep(cloud, q, scale, kw):
+        cam, w, sc = eff._candidate_cam(cloud, q, scale, kw)
+        sil, _ = projection_silhouette_products(
+            cam, S, jnp.float32(1.3), sc, weights=w
+        )
+        return sil
+
+    eager = sweep(cloud, q, scale, kw)
+    jitted = jax.jit(sweep)(cloud, q, scale, kw)
+    np.testing.assert_allclose(
+        np.asarray(jitted), np.asarray(eager), atol=1e-5
+    )

@@ -6,7 +6,8 @@ this pins the whole conversion path numerically: deterministic
 reference-shaped state dicts (seeded, no fixture files needed) ->
 ``convert_{reconstruction,generator}`` -> model forward -> MeshTemplate
 vertex sampling -> differentiable render, compared against committed golden
-arrays.  Any drift in the converter mappings, UV topo/tangent math
+arrays (FULL output tensors, not probe grids — localized drift anywhere in
+the outputs fails the test).  Any drift in the converter mappings, UV topo/tangent math
 (``code/rendering/mesh_template.py:125-170``), grid-sample semantics
 (``code/rendering/utils.py:6-12``), or rasterizer output changes these
 numbers and fails here.
@@ -55,13 +56,17 @@ def _compute() -> dict:
     tex, mesh_map = jax.jit(
         lambda v, x_: model.apply(v, x_, train=False)
     )(recon_vars, x)
-    out["recon_tex"] = np.asarray(tex)[0, ::8, ::8]  # (8, 8, 3) probe grid
+    # Full arrays, not probe grids: localized drift between subsampled
+    # probes passed silently before; the whole outputs are small enough
+    # (~600 KB compressed) to commit.
+    out["recon_tex"] = np.asarray(tex, np.float32)
+    out["recon_mesh_map"] = np.asarray(mesh_map, np.float32)
 
     # -- template vertex sampling (topo map + tangent frames + symmetry) --
     template = MeshTemplate(segments=32, rings=16)
     probe_map = jnp.asarray(rng.randn(1, 32, 32, 3) * 0.05, jnp.float32)
     vtx = template.get_vertex_positions(probe_map)
-    out["sampled_vtx"] = np.asarray(vtx)[0, ::17]  # every 17th vertex
+    out["sampled_vtx"] = np.asarray(vtx, np.float32)[0]
 
     # -- generator + full render ------------------------------------------
     gen_sd = make_generator_state_dict(np.random.RandomState(2))
@@ -75,7 +80,8 @@ def _compute() -> dict:
         lambda v, z_, c_: gen.apply(v, z_, c_, train=False,
                                     mutable=["batch_stats"])
     )(gen_vars, z, c)
-    out["gen_tex"] = np.asarray(gtex)[:, ::16, ::16]
+    out["gen_tex"] = np.asarray(gtex, np.float32)
+    out["gen_mesh"] = np.asarray(gmesh, np.float32)
 
     # pose under a fixed rotation and render at 64^2 (exercises
     # adjust_uv_and_texture seam handling + the rasterizer + UV sampling)
@@ -90,8 +96,8 @@ def _compute() -> dict:
         lambda v, t: render_mesh(v, template.faces_j, uvs,
                                  template.face_uvs_j, t, 64, 64)
     )(pvtx, tex_adj)
-    out["render_image"] = np.asarray(image)[:, ::8, ::8]
-    out["render_alpha"] = np.asarray(alpha)[:, ::8, ::8]
+    out["render_image"] = np.asarray(image, np.float32)
+    out["render_alpha"] = np.asarray(alpha, np.float32)
     return out
 
 
@@ -123,7 +129,7 @@ if __name__ == "__main__":
             0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
-        np.savez(GOLDEN_PATH, **_compute())
+        np.savez_compressed(GOLDEN_PATH, **_compute())
         print(f"wrote {GOLDEN_PATH}")
     else:
         print(__doc__)

@@ -511,7 +511,8 @@ def main(argv=None) -> int:
             trainer.epoch = epoch
             t0 = time.time()
             # host fetches of loss scalars stall the device pipeline, so
-            # sample them: first iteration each epoch + every 10th after
+            # sample them: the first 1G+2D group each epoch (so both g_ and
+            # d_ curves are always populated) + every 10th iteration after
             for it_in_epoch, batch in enumerate(
                 gan_batch_iterator(ds, args.batch_size, seed=epoch,
                                    num_workers=args.num_workers)
@@ -519,7 +520,7 @@ def main(argv=None) -> int:
                 if profiler is not None:
                     profiler.tick()
                 losses = trainer.train_step(batch)
-                if it_in_epoch % 10 == 0:
+                if it_in_epoch < 3 or it_in_epoch % 10 == 0:
                     scalars = {k: float(v) for k, v in losses.items()}
                     logger.log(trainer.total_it, scalars)
                     trainer.record_curves(scalars)

@@ -58,11 +58,30 @@ def measure(trainer, batch, steps: int = 6) -> dict:
 
     g_s = time_phase("g")
     d_s = time_phase("d")
-    it_s = g_s + 2 * d_s  # reference pattern: 1 G step per 2 D steps
+
+    # Pipelined iteration time: queue `groups` full 1G+2D groups back to
+    # back and sync once.  The per-phase timings above fence every step, so
+    # each carries a full dispatch/tunnel round trip (~70 ms on the axon
+    # RPC tunnel) that a real training loop — which only fetches metrics
+    # every log interval — never pays.  This is the number a production
+    # loop sustains; g/d_step_ms remain the fenced per-phase breakdown.
+    groups = 5
+    while trainer.total_it % (1 + trainer.cfg.d_steps_per_g) != 0:
+        sync(trainer.train_step(batch))
+    group_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(groups * (1 + trainer.cfg.d_steps_per_g)):
+            losses = trainer.train_step(batch)
+        sync(losses)
+        group_ts.append((time.perf_counter() - t0) / groups)
+    it_s = min(group_ts)
+
     B = batch["alpha"].shape[0]
     return dict(
         g_step_ms=round(g_s * 1e3, 2),
         d_step_ms=round(d_s * 1e3, 2),
+        iter_3step_fenced_ms=round((g_s + 2 * d_s) * 1e3, 2),
         iter_3step_ms=round(it_s * 1e3, 2),
         imgs_per_sec=round(3 * B / it_s, 2),
     )

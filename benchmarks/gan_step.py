@@ -59,19 +59,22 @@ def measure(trainer, batch, steps: int = 6) -> dict:
     g_s = time_phase("g")
     d_s = time_phase("d")
 
-    # Pipelined iteration time: queue `groups` full 1G+2D groups back to
+    # Pipelined iteration time: queue `groups` full 1G+kD groups back to
     # back and sync once.  The per-phase timings above fence every step, so
     # each carries a full dispatch/tunnel round trip (~70 ms on the axon
     # RPC tunnel) that a real training loop — which only fetches metrics
     # every log interval — never pays.  This is the number a production
     # loop sustains; g/d_step_ms remain the fenced per-phase breakdown.
+    # k (group size) comes from the trainer config so the names/sums can't
+    # drift from the measurement loop if d_steps_per_g changes.
+    k = 1 + trainer.cfg.d_steps_per_g
     groups = 5
-    while trainer.total_it % (1 + trainer.cfg.d_steps_per_g) != 0:
+    while trainer.total_it % k != 0:
         sync(trainer.train_step(batch))
     group_ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(groups * (1 + trainer.cfg.d_steps_per_g)):
+        for _ in range(groups * k):
             losses = trainer.train_step(batch)
         sync(losses)
         group_ts.append((time.perf_counter() - t0) / groups)
@@ -81,9 +84,11 @@ def measure(trainer, batch, steps: int = 6) -> dict:
     return dict(
         g_step_ms=round(g_s * 1e3, 2),
         d_step_ms=round(d_s * 1e3, 2),
-        iter_3step_fenced_ms=round((g_s + 2 * d_s) * 1e3, 2),
-        iter_3step_ms=round(it_s * 1e3, 2),
-        imgs_per_sec=round(3 * B / it_s, 2),
+        group_size=k,  # steps per group: 1 G + (k-1) D
+        iter_group_fenced_ms=round((g_s + (k - 1) * d_s) * 1e3, 2),
+        iter_group_ms=round(it_s * 1e3, 2),
+        imgs_per_sec_pipelined=round(k * B / it_s, 2),
+        methodology="pipelined group of 1G+%dD, sync once per group" % (k - 1),
     )
 
 
@@ -93,6 +98,9 @@ def main():
     ap.add_argument("--texture_resolution", type=int, default=512)
     ap.add_argument("--compute_dtype", type=str, default="both",
                     choices=("float32", "bfloat16", "both"))
+    ap.add_argument("--wide_hires", action="store_true",
+                    help="128-channel top generator block (full bf16 lane "
+                    "occupancy at the 512^2 stage; see GANConfig.wide_hires)")
     args = ap.parse_args()
 
     from im23d_tpu.core.jax_setup import setup_jax
@@ -120,7 +128,7 @@ def main():
         cfg = GANTrainConfig(
             model=GANConfig(
                 texture_resolution=R, conditional_class=True,
-                compute_dtype=dt,
+                compute_dtype=dt, wide_hires=args.wide_hires,
             ),
             batch_size=B,
         )
@@ -128,7 +136,7 @@ def main():
         out = measure(trainer, batch)
         print(json.dumps(dict(
             bench="gan_step", texture_resolution=R, batch_size=B,
-            compute_dtype=dt, **out,
+            compute_dtype=dt, wide_hires=args.wide_hires, **out,
         )), flush=True)
 
 

@@ -7,11 +7,13 @@ exist.  Candidates measured here, at the chairs candidate-sweep shape
 (B*K*V=480 rows x N=8000 points, 64-voxel grid):
 
   a) sort4: current primal path — lax.sort (key, gy, gx, c), 1 sort key
-  b) sort2+gather: lax.sort (key, idx), then take_along_axis the 3 payloads
-  c) sort2+onehot-matmul: apply the permutation as a bf16 one-hot matmul
+  b) sort5: sort4 plus an index payload riding through every bitonic stage
+     (what the backward pass needs for its unsort permutation)
+  c) sort2+gather: lax.sort (key, idx), then take_along_axis the 3 payloads
+  d) sort2+onehot-matmul: apply the permutation as a bf16 one-hot matmul
      (P[i,j] = idx_s[i]==j) against the stacked payload — MXU instead of
      gather
-  d) sort1_u32: pack the payload index into the mantissa-free low bits of
+  e) sort1_u32: pack the payload index into the mantissa-free low bits of
      the quantized key (key*8 fits 9 bits << 13 | idx 13 bits for N=8000),
      single u32 sort, unpack + gather
 
@@ -29,13 +31,24 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    t0 = time.perf_counter()
+    """min-of-iters ms with an explicit scalar fetch per iteration.
+
+    block_until_ready alone does not reliably synchronize through the axon
+    tunnel (see bench.py / gan_step.py) — fetching one scalar fences each
+    call, so this measures execution, not dispatch.
+    """
+
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf).ravel()[0])
+
+    fence(fn(*args))  # compile
+    ts = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    return (time.perf_counter() - t0) / iters * 1e3
+        t0 = time.perf_counter()
+        fence(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
 
 
 def main():
@@ -54,6 +67,11 @@ def main():
     @jax.jit
     def sort4(key, gy, gx, c):
         return jax.lax.sort((key, gy, gx, c), dimension=-1, num_keys=1)
+
+    @jax.jit
+    def sort5(key, gy, gx, c):
+        idx0 = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+        return jax.lax.sort((key, gy, gx, c, idx0), dimension=-1, num_keys=1)
 
     @jax.jit
     def sort2_gather(key, gy, gx, c):
@@ -95,7 +113,19 @@ def main():
         payload = jnp.take_along_axis(stacked, idx[..., None], axis=1)
         return key_s, payload
 
+    # correctness: all variants must agree on (key_s, gy_s, gx_s, c_s)
+    k4, y4, x4, c4 = map(np.asarray, sort4(key, gy, gx, c))
+    k5, y5, x5, c5, _ = map(np.asarray, sort5(key, gy, gx, c))
+    k2, p2 = sort2_gather(key, gy, gx, c)
+    k2, p2 = np.asarray(k2), np.asarray(p2)
+    np.testing.assert_allclose(k4, k5)
+    np.testing.assert_allclose(k4, k2)
+    for ref, got in [(y4, y5), (x4, x5), (c4, c5),
+                     (y4, p2[..., 0]), (x4, p2[..., 1]), (c4, p2[..., 2])]:
+        np.testing.assert_allclose(ref, got)
+
     for name, fn in [("sort4 (current)", sort4),
+                     ("sort5 (+idx payload)", sort5),
                      ("sort2+gather", sort2_gather),
                      ("sort1_u32+gather", sort1_u32)]:
         print(f"{name:22s} {timeit(fn, key, gy, gx, c):7.3f} ms")

@@ -95,8 +95,11 @@ def _sd_numpy(sd: dict) -> dict:
     return {k: _to_np(v) for k, v in sd.items()}
 
 
-def import_gan(chk: dict, name: str, out_root: str) -> str:
-    from im23d_tpu.core.checkpoint import wait_for_async_saves
+def make_gan_trainer(chk: dict, name: str, out_root: str):
+    """Build a GANTrainer with the reference checkpoint's weights grafted in
+    (config inferred from the checkpoint's args snapshot + weight shapes).
+    Split out of ``import_gan`` so tests / callers can keep driving the
+    restored trainer (render, export) after the import."""
     from im23d_tpu.core.torch_convert import convert_generator
     from im23d_tpu.models.gan import GANConfig
     from im23d_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
@@ -151,7 +154,13 @@ def import_gan(chk: dict, name: str, out_root: str) -> str:
                          ("d_fake_curve", "d_fake"), ("d_real_curve", "d_real")):
         if ref_key in chk:
             trainer.curves[key] = [float(v) for v in chk[ref_key]]
+    return trainer
 
+
+def import_gan(chk: dict, name: str, out_root: str) -> str:
+    from im23d_tpu.core.checkpoint import wait_for_async_saves
+
+    trainer = make_gan_trainer(chk, name, out_root)
     path = trainer.save(tag="latest")
     wait_for_async_saves()
     return path

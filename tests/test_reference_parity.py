@@ -281,38 +281,28 @@ def test_gaussian_blur_3d_parity():
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
 
 
-def test_silhouette_projection_parity():
-    """Full projection vs the reference composition of non-buggy sub-ops.
+def _reference_composed_projection(pts_t, q_t, scale_t, sigma: float,
+                                   S: int = 64):
+    """Reference projection composed from its own working sub-ops.
 
     The reference ``EffectiveLossFunction.forward`` is uncallable as shipped
     (``smooth(kernels=())`` crashes on ``None.squeeze`` — SURVEY.md §2.1 #8),
-    so compose its working pieces the way the forward intends: camera
-    transform -> trilinear scatter -> chained per-axis Gaussian blur ->
-    scale+clamp -> termination probs -> depth-sum + vertical flip, and
-    compare against our fused pipeline.
-    """
-    from im23d_tpu.ops.camera import world_to_camera
-    from im23d_tpu.ops.voxel import (
-        gaussian_blur_3d,
-        project_silhouette,
-        termination_probs,
-        trilinear_splat,
-    )
+    so compose its working pieces the way the forward intends
+    (``effective_loss_function.py:58-81``): camera transform -> trilinear
+    scatter -> chained per-axis Gaussian blur -> scale+clamp -> termination
+    probs -> depth-sum + vertical flip.  Constraints inherited from the
+    reference: batch must be exactly 3 (``points_quaternions.py:53`` asserts
+    ``len(xyz_triplet) == 3``) and S must be 64
+    (``trilinear_interpolation.py:12`` hard-codes it).
 
+    Returns the (B, S, S) silhouette as numpy.
+    """
     elf = import_refcode("utils.effective_loss_function")
     sv = import_refcode("utils.smooth_voxels")
     ti_mod = import_refcode("utils.trilinear_interpolation")
-    rng = np.random.RandomState(8)
-    # B=3: reference rotate_points only runs at batch 3 (see above);
-    # S=64: reference TrilinearInterpolation hard-codes size 64
-    B, N, S, sigma = 3, 120, 64, 2.0
-    pts = (rng.rand(B, N, 3).astype(np.float32) - 0.5) * 0.9
-    q = rng.randn(B, 4).astype(np.float32)
-    scale = rng.rand(B).astype(np.float32) * 0.5 + 0.4
-
     cam_mod = import_refcode("camera.coordinate_system_transformation")
     cam_ref = cam_mod.CameraUtilities().transformation_3d_coord_to_camera_coord(
-        _t(pts), _t(q), field_of_view=1.875, camera_view_distance=2.0
+        pts_t, q_t, field_of_view=1.875, camera_view_distance=2.0
     )
     # Reference trilinear with its corner-weight bug fixed: grid_dist[0]
     # is ``1.0 - grid - grid.floor()`` (= 1 - frac - 2*floor) instead of the
@@ -333,10 +323,32 @@ def test_silhouette_projection_parity():
     sm = vox_ref
     for k in kernels[:-1]:
         sm = vs.smooth(sm, [k])
-    sm = vs.smooth(sm, [kernels[-1]], scale=_t(scale))
+    sm = vs.smooth(sm, [kernels[-1]], scale=scale_t)
     loss_mod = elf.EffectiveLossFunction(voxel_size=S)
     probs_ref = loss_mod.termination_probs(sm)
-    ref = probs_ref[:, :-1].sum(1).flip(1).numpy()
+    return probs_ref[:, :-1].sum(1).flip(1).numpy()
+
+
+def test_silhouette_projection_parity():
+    """Full projection vs the reference composition of non-buggy sub-ops
+    (see ``_reference_composed_projection``) against our fused pipeline."""
+    from im23d_tpu.ops.camera import world_to_camera
+    from im23d_tpu.ops.voxel import (
+        gaussian_blur_3d,
+        project_silhouette,
+        termination_probs,
+        trilinear_splat,
+    )
+
+    rng = np.random.RandomState(8)
+    # B=3: reference rotate_points only runs at batch 3 (see above);
+    # S=64: reference TrilinearInterpolation hard-codes size 64
+    B, N, S, sigma = 3, 120, 64, 2.0
+    pts = (rng.rand(B, N, 3).astype(np.float32) - 0.5) * 0.9
+    q = rng.randn(B, 4).astype(np.float32)
+    scale = rng.rand(B).astype(np.float32) * 0.5 + 0.4
+
+    ref = _reference_composed_projection(_t(pts), _t(q), _t(scale), sigma, S)
 
     cam = world_to_camera(jnp.array(pts), jnp.array(q))
     vox = trilinear_splat(cam, S)
@@ -391,6 +403,128 @@ def test_pose_decoder_parity():
     np.testing.assert_allclose(np.asarray(ens), ref_ens, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(student), ref_student, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_unsupervised_part_composed_forward_parity():
+    """Whole-model Pipeline-A forward: the REAL reference ``UnsupervisedPart``
+    training-mode forward (``code/models/unsupervised_part.py:53-87``) vs our
+    ``UnsupervisedPart`` + ``project_candidates`` with converted weights.
+
+    The reference forward is uncallable as shipped; three of its own bugs are
+    held fixed (implementing the documented intent, SURVEY.md §2.1 #7-8):
+
+    * ``decoder.py:22-31`` builds its Linear layers inside ``forward`` —
+      fresh random weights per call.  We pre-build the two Linears once and
+      bind them, so the decoder head has fixed weights both sides can share.
+    * ``effective_loss_function.py:77`` calls ``smooth(kernels=())`` (crash)
+      and ``unsupervised_part.py:85`` passes all K+1 poses against K-repeated
+      clouds (batch mismatch inside the camera transform).  The patched
+      forward projects under the ensemble poses (the first B*V*K rows — the
+      loss consumes exactly that many projections,
+      ``unsupervised_part.py:117-119``) through the reference's own working
+      sub-ops (``_reference_composed_projection``).
+    * dropout is made identity (keep all points) so both sides project the
+      same cloud; the dropout op has its own parity/unit tests.
+
+    Shapes obey the reference's composed-forward constraints: B*V*K == 3
+    (``points_quaternions.py:53``) and voxel 64
+    (``trilinear_interpolation.py:12``) -> B=1, V=1, K=3.
+    """
+    from im23d_tpu.core.torch_convert import (
+        _dense,
+        convert_pointcloud_encoder,
+        convert_pose_decoder,
+    )
+    from im23d_tpu.losses.effective import project_candidates
+    from im23d_tpu.models.pointcloud_nets import UnsupervisedPart
+
+    up_mod = import_refcode("models.unsupervised_part")
+    B, V, K, N, image_size, S, sigma = 1, 1, 3, 120, 64, 64, 3.0
+
+    torch.manual_seed(7)
+    ref = up_mod.UnsupervisedPart(
+        image_size=image_size, voxel_size=S, z_dimension=1024,
+        pose_dimensions=128, number_of_point_cloud_points=N,
+        number_of_pose_predictor_candidates=K, number_of_views=V,
+    )
+
+    # hold the in-forward decoder bug fixed: one fixed pair of Linears
+    lin_pc = torch.nn.Linear(1024, N * 3)
+    lin_scale = torch.nn.Linear(1024, 1)
+
+    def decoder_forward(hidden_vector):
+        pc = torch.tanh(lin_pc(hidden_vector).view(-1, N, 3)) / 2.0
+        return pc, torch.sigmoid(lin_scale(hidden_vector))
+
+    ref.decoder.forward = decoder_forward
+    ref.point_cloud_drop_out.forward = lambda point_cloud: point_cloud
+
+    def elf_forward(point_cloud, rotation, scale=None):
+        rot = rotation[: point_cloud.shape[0]]
+        return _t(
+            _reference_composed_projection(
+                point_cloud, rot, scale.view(-1), sigma, S
+            )
+        )
+
+    ref.effective_loss_function.forward = elf_forward
+
+    ref.train()
+    rng = np.random.RandomState(11)
+    images = rng.rand(B, 3, image_size, image_size).astype(np.float32)
+    pose_images = rng.rand(B * V, 3, image_size, image_size).astype(np.float32)
+    with torch.no_grad():
+        proj_ref, ens_ref, student_ref = ref(_t(images), _t(pose_images))
+
+    variables = {
+        "params": {
+            "encoder": convert_pointcloud_encoder(
+                ref.encoder.state_dict(), image_size
+            )["params"],
+            "pose_decoder": convert_pose_decoder(
+                ref.pose_decoder.state_dict(), K
+            )["params"],
+            "decoder": {
+                "Dense_0": {
+                    "kernel": _dense(lin_pc.weight.detach().numpy()),
+                    "bias": lin_pc.bias.detach().numpy(),
+                },
+                "Dense_1": {
+                    "kernel": _dense(lin_scale.weight.detach().numpy()),
+                    "bias": lin_scale.bias.detach().numpy(),
+                },
+            },
+        }
+    }
+    model = UnsupervisedPart(num_points=N, num_candidates=K, num_views=V)
+    outputs = model.apply(variables, jnp.array(_nhwc(images)),
+                          jnp.array(_nhwc(pose_images)))
+
+    # pose heads: reference returns the (B*V*K, 4) ensemble rows batch-major,
+    # head-minor (pose_decoder.py:64-66) then the (B*V, 4) student rows
+    np.testing.assert_allclose(
+        np.asarray(outputs["ensemble_q"]).reshape(B * V * K, 4),
+        ens_ref.numpy(), atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outputs["student_q"]), student_ref.numpy(),
+        atol=1e-4, rtol=1e-4,
+    )
+
+    # composed projection: clouds repeated K*V per element
+    # (unsupervised_part.py:79-84) projected under the ensemble poses
+    sil = project_candidates(
+        outputs["point_cloud"],
+        outputs["ensemble_q"].reshape(B, V * K, 4),
+        jnp.float32(sigma),
+        scale=outputs["scale"],
+        weights=None,
+        voxel_size=S,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sil).reshape(B * V * K, S, S), proj_ref.numpy(),
+        atol=1e-4, rtol=1e-4,
     )
 
 

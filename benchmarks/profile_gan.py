@@ -113,6 +113,7 @@ def build_trainer(args):
         model=GANConfig(
             texture_resolution=R, conditional_class=True,
             compute_dtype="bfloat16",
+            wide_hires=getattr(args, "wide_hires", False),
         ),
         batch_size=B,
     )
@@ -153,6 +154,8 @@ def main() -> None:
     ap.add_argument("--phase", choices=("g", "d"), default="g")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--wide_hires", action="store_true",
+                    help="128-channel top generator block (GANConfig.wide_hires)")
     args = ap.parse_args()
 
     from im23d_tpu.core.jax_setup import setup_jax

@@ -23,6 +23,67 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def _probed_fit(learner, feed, num_steps: int, probe_every: int,
+                workdir: str) -> dict:
+    """learner.fit's loop with a host-side probe every ``probe_every`` steps.
+
+    Each probe record separates the step's DISPATCH cost (time for
+    ``train_step`` to return — pure host+RPC work; the device keeps running)
+    from its FENCED cost (dispatch + one scalar fetch = wait for the device
+    to drain), and snapshots host RSS and GC counters.  If steps/sec decays
+    while ``dispatch_ms`` grows and ``fenced_ms`` stays flat, the host/tunnel
+    is degrading; if ``fenced_ms`` grows too, the device step itself is.
+    """
+    import gc
+    import json as _json
+
+    cfg = learner.cfg
+    probe_path = os.path.join(workdir, "probe.jsonl")
+    losses: dict = {}
+    t0 = time.time()
+    tlog = t0
+    step0 = int(learner.state.step)
+    with open(probe_path, "w") as probe_fh:
+        for i in range(num_steps):
+            batch_dev = next(feed)
+            step = step0 + i + 1
+            if probe_every and step % probe_every == 0:
+                g0, g1, g2 = gc.get_count()
+                td0 = time.perf_counter()
+                losses = learner.train_step(batch_dev, already_on_device=True)
+                dispatch_s = time.perf_counter() - td0
+                float(losses["total_loss"])  # fence: device drained
+                fenced_s = time.perf_counter() - td0
+                probe_fh.write(_json.dumps(dict(
+                    step=step,
+                    wall_s=round(time.time() - t0, 2),
+                    dispatch_ms=round(dispatch_s * 1e3, 3),
+                    fenced_ms=round(fenced_s * 1e3, 3),
+                    rss_mb=round(_rss_mb(), 1),
+                    gc_counts=[g0, g1, g2],
+                    gc_collections=[s["collections"] for s in gc.get_stats()],
+                )) + "\n")
+                probe_fh.flush()
+            else:
+                losses = learner.train_step(batch_dev, already_on_device=True)
+            if learner.logger and step % cfg.log_every == 0:
+                host = {k: float(v) for k, v in losses.items()}
+                host["steps_per_sec"] = cfg.log_every / max(
+                    time.time() - tlog, 1e-9
+                )
+                tlog = time.time()
+                learner.logger.log(step, host)
+    return {k: float(v) for k, v in losses.items()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
@@ -33,6 +94,12 @@ def main() -> None:
                     "degrades after ~500 transfers — see docs/runs/README.md "
                     "— but on a real TPU host it is the production mode)")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--probe_every", type=int, default=0,
+                    help="if > 0, run the loop with a host-side probe every "
+                    "N steps recording RSS, GC counts, dispatch-only time "
+                    "and fenced step time to <workdir>/probe.jsonl — the "
+                    "instrument for the in-run throughput-decay "
+                    "investigation (VERDICT r3 weak #3)")
     args = ap.parse_args()
 
     from im23d_tpu.core.jax_setup import setup_jax
@@ -72,7 +139,11 @@ def main() -> None:
     else:
         feed = itertools.cycle(pool)
     t0 = time.time()
-    losses = learner.fit(feed, num_steps=args.steps - 1)
+    if args.probe_every:
+        losses = _probed_fit(learner, feed, args.steps - 1, args.probe_every,
+                             workdir)
+    else:
+        losses = learner.fit(feed, num_steps=args.steps - 1)
     dt = time.time() - t0
     imgs = cfg.batch_size * (args.steps - 1)
 

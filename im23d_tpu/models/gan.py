@@ -53,6 +53,15 @@ class GANConfig:
     # TPU "bfloat16" runs the conv stacks on the MXU at 2x rate.  The
     # reference has no AMP equivalent (pure f32 CUDA).
     compute_dtype: str = "float32"
+    # TPU lane packing: bf16 tiles are (16, 128) — a 64-channel tensor wastes
+    # half of every lane tile, and the round-3 roofline study measured the
+    # 512^2 stage's memory-bound fusions at ~2.4x the HBM roofline for
+    # exactly this reason (docs/runs/README.md).  wide_hires lifts the
+    # generator's last (highest-resolution) block from 64 to 128 channels so
+    # every full-res tensor occupies full lanes.  Architecture deviation
+    # from the reference (more capacity at the top stage), so default off;
+    # pretrained-weight import requires False.
+    wide_hires: bool = False
 
     @property
     def dtype(self):
@@ -252,7 +261,8 @@ class Generator(nn.Module):
             x_tex = upsample_nearest(blk(256, "blk3c")(x_tex, z, train))
         x_tex = upsample_nearest(blk(128, "blk4")(x_tex, z, train))
         x_tex = upsample_nearest(blk(128, "blk5")(x_tex, z, train))
-        x_tex = leaky_relu(blk(64, "blk6")(x_tex, z, train))
+        x_tex = leaky_relu(blk(128 if cfg.wide_hires else 64, "blk6")(
+            x_tex, z, train))
         # tanh in f32 (saturation precision), texture stays in the compute
         # dtype: casting the 512^2 map to f32 here forces full-size f32
         # layout copies between G and D (profiled at ~12 ms/step at bs16) —

@@ -35,6 +35,26 @@ def test_positional_encoding_matches_reference():
         np.testing.assert_allclose(ours, expected, atol=1e-6)
 
 
+def test_generator_wide_hires_widens_only_top_block():
+    # GANConfig.wide_hires: the highest-resolution generator block runs at
+    # 128 channels (full bf16 lane occupancy) instead of the reference's 64;
+    # outputs and every other block are unchanged.  Measured on the real
+    # chip as a capacity knob, not a speedup (docs/runs/README.md).
+    cfg = GANConfig(texture_resolution=128, n_classes=(7,), wide_hires=True)
+    gen = Generator(cfg, mesh_head=True)
+    z = jnp.zeros((2, cfg.latent_dim))
+    variables = gen.init(jax.random.PRNGKey(0), z, train=False)
+    (tex, mesh), _ = gen.apply(variables, z, train=True, mutable=["batch_stats"])
+    assert tex.shape == (2, 128, 128, 3)
+    assert mesh.shape == (2, 32, 32, 3)
+    p = variables["params"]
+    assert p["blk6"]["Conv_0"]["kernel"].shape[-1] == 128
+    assert p["blk5"]["Conv_0"]["kernel"].shape[-1] == 128  # unchanged
+    base = Generator(TINY, mesh_head=True).init(jax.random.PRNGKey(0), z,
+                                                train=False)["params"]
+    assert base["blk6"]["Conv_0"]["kernel"].shape[-1] == 64
+
+
 @pytest.mark.slow
 def test_generator_shapes_and_symmetry():
     cfg = TINY

@@ -115,13 +115,22 @@ def main() -> None:
         "eval_every": args.steps,  # one grid + checkpoint at the end
     })
     workdir = args.workdir or f"/tmp/chairs_sustained_{os.getpid()}"
+    tsetup = time.time()
     learner = ShapeNetLearner(cfg, workdir=workdir)
+    print(f"[phase] learner init {time.time() - tsetup:.1f}s", file=sys.stderr,
+          flush=True)
+    tsetup = time.time()
     data = SyntheticSilhouettes(
         cfg.batch_size, cfg.image_size, cfg.num_views, n_points=256, seed=0
     )
     host_batches = [data.next_batch(return_gt=True) for _ in range(args.pool)]
     gt_clouds = [b.pop("gt_cloud") for b in host_batches]
+    print(f"[phase] host datagen {time.time() - tsetup:.1f}s", file=sys.stderr,
+          flush=True)
+    tsetup = time.time()
     pool = [learner.put_batch(b) for b in host_batches]
+    print(f"[phase] pool upload {time.time() - tsetup:.1f}s", file=sys.stderr,
+          flush=True)
 
     # one compile step outside the timed window (jit warm-up is a one-time
     # cost amortized over 130k steps in production; docs/runs reports both)

@@ -139,6 +139,14 @@ def shard_batch_pytree(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> An
             ),
             batch,
         )
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    def _put(x):
+        # Already-committed leaves with the right sharding pass through
+        # untouched: re-putting a device-resident array is a no-op locally
+        # but still costs an RPC round trip per leaf per step on a remote
+        # -TPU tunnel (measured as a monotonic steps/sec decay over long
+        # runs when a device-resident pool is re-put every step).
+        if isinstance(x, jax.Array) and getattr(x, "sharding", None) == sharding:
+            return x
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(_put, batch)

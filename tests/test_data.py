@@ -293,3 +293,40 @@ def test_process_workers_match_serial(tmp_path):
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_numpy_silhouette_render_matches_jax_pipeline():
+    """The NumPy datagen renderer (data/synthetic.py) must match the jitted
+    projection pipeline (ops/voxel.point_cloud_to_silhouette + bilinear
+    upsample) it replaced — pinned so the two can never drift."""
+    import jax.numpy as jnp
+
+    from im23d_tpu.data.synthetic import (
+        SyntheticSilhouettes,
+        _random_shapes,
+        _random_unit_quats,
+        render_silhouettes_np,
+    )
+    from im23d_tpu.ops.sampling import resize_bilinear
+    from im23d_tpu.ops.voxel import point_cloud_to_silhouette
+
+    rng = np.random.RandomState(7)
+    pc = _random_shapes(rng, 4, 128)
+    quats = _random_unit_quats(rng, 4)
+    got = render_silhouettes_np(pc, quats, sigma=1.2, voxel_size=32,
+                                kernel_size=9, out_size=64)
+    sil = point_cloud_to_silhouette(
+        jnp.asarray(pc), jnp.asarray(quats), jnp.float32(1.2),
+        voxel_size=32, kernel_size=9,
+    )
+    want = np.asarray(resize_bilinear(jnp.clip(sil, 0.0, 1.0), 64, 64))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # and the generator itself still yields well-formed batches
+    data = SyntheticSilhouettes(2, 64, 3, n_points=64, seed=0)
+    b = data.next_batch(return_gt=True)
+    assert b["images"].shape == (2, 64, 64, 3)
+    assert b["pose_input"].shape == (6, 64, 64, 3)
+    assert b["masks"].shape == (6, 64, 64)
+    assert b["gt_cloud"].shape == (2, 64, 3)
+    assert b["masks"].max() > 0

@@ -86,6 +86,12 @@ def _probed_fit(learner, feed, num_steps: int, probe_every: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--category", choices=("chairs", "planes", "cars"),
+                    default="chairs",
+                    help="reference per-category config "
+                    "(training_test_shape_net.py:182-237): chairs 128px/"
+                    "voxel64/8000pts/bs24, planes & cars 64px/voxel32/"
+                    "4000pts/bs16")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--pool", type=int, default=16)
     ap.add_argument("--stream", action="store_true",
@@ -109,12 +115,13 @@ def main() -> None:
     from im23d_tpu.data.synthetic import SyntheticSilhouettes
     from im23d_tpu.train.shapenet_learner import ShapeNetConfig, ShapeNetLearner
 
+    base = getattr(ShapeNetConfig, args.category)()
     cfg = ShapeNetConfig(**{
-        **ShapeNetConfig.chairs().__dict__,
+        **base.__dict__,
         "total_steps": args.steps,
         "eval_every": args.steps,  # one grid + checkpoint at the end
     })
-    workdir = args.workdir or f"/tmp/chairs_sustained_{os.getpid()}"
+    workdir = args.workdir or f"/tmp/{args.category}_sustained_{os.getpid()}"
     tsetup = time.time()
     learner = ShapeNetLearner(cfg, workdir=workdir)
     print(f"[phase] learner init {time.time() - tsetup:.1f}s", file=sys.stderr,
@@ -202,6 +209,7 @@ def main() -> None:
         learner.logger.log(args.steps, {"chamfer_synthetic_gt": chamfer_gt})
 
     print(json.dumps({
+        "category": args.category,
         "steps": args.steps,
         "warmup_s": round(warm, 1),
         "wall_s": round(dt, 1),

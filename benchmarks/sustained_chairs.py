@@ -93,6 +93,12 @@ def main() -> None:
                     "voxel64/8000pts/bs24, planes & cars 64px/voxel32/"
                     "4000pts/bs16")
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--schedule_steps", type=int, default=None,
+                    help="schedule denominator (ShapeNetConfig.total_steps); "
+                    "defaults to --steps.  Set to the production 130000 to "
+                    "run a prefix of the real training schedule: the p/sigma "
+                    "sweep then covers only steps/schedule_steps of its "
+                    "range instead of all of it")
     ap.add_argument("--pool", type=int, default=16)
     ap.add_argument("--stream", action="store_true",
                     help="feed a fresh host batch every step (measures the "
@@ -118,7 +124,7 @@ def main() -> None:
     base = getattr(ShapeNetConfig, args.category)()
     cfg = ShapeNetConfig(**{
         **base.__dict__,
-        "total_steps": args.steps,
+        "total_steps": args.schedule_steps or args.steps,
         "eval_every": args.steps,  # one grid + checkpoint at the end
     })
     workdir = args.workdir or f"/tmp/{args.category}_sustained_{os.getpid()}"
@@ -211,6 +217,7 @@ def main() -> None:
     print(json.dumps({
         "category": args.category,
         "steps": args.steps,
+        "schedule_steps": args.schedule_steps or args.steps,
         "warmup_s": round(warm, 1),
         "wall_s": round(dt, 1),
         "mode": "stream" if args.stream else "device_pool",

@@ -8,12 +8,12 @@ quaternions.  Training on it exercises every code path of Pipeline A
 end-to-end.
 
 The renderer is pure NumPy rather than the jitted ``ops.voxel`` pipeline:
-host-side data generation must not pay an XLA compile — the CPU compile of
-the projection graph takes minutes on a small host (measured 110-500 s,
-round-4 investigation) and the persistent compile cache does not transfer
-across machines (cpu_aot_loader rejects entries whose build-machine CPU
-features differ).  Parity with ``point_cloud_to_silhouette`` is pinned to
-~1e-4 by ``tests/test_data.py``.
+host-side data generation must not pay an XLA compile — the cold CPU
+compile of the projection graph takes minutes on a small host (measured
+110-500 s across processes, round-4 investigation), which taxed every
+fresh benchmark/driver process whose exact shapes had not been compiled
+into the persistent cache before.  Parity with
+``point_cloud_to_silhouette`` is pinned to ~1e-4 by ``tests/test_data.py``.
 """
 
 from __future__ import annotations

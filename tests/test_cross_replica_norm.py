@@ -79,3 +79,30 @@ def test_sharded_gradients_match_single_device():
     )
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shard_batch_pytree_passthrough_is_identity():
+    """Re-putting an already-sharded batch must return the SAME arrays.
+
+    ``ShapeNetLearner.fit`` pre-stages device pools and calls
+    ``put_batch`` -> ``shard_batch_pytree`` on every step; on a remote-TPU
+    tunnel a redundant ``jax.device_put`` per leaf per step costs an RPC
+    round trip each (round-4 decay investigation), so correctly-sharded
+    leaves pass through untouched.
+    """
+    import numpy as np
+
+    from im23d_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+
+    mesh = make_mesh(jax.devices()[:4])
+    host = dict(a=np.arange(32, dtype=np.float32).reshape(8, 4),
+                b=np.zeros((8, 2, 2), np.uint8))
+    dev = shard_batch_pytree(host, mesh)
+    again = shard_batch_pytree(dev, mesh)
+    assert again["a"] is dev["a"] and again["b"] is dev["b"]
+    np.testing.assert_array_equal(np.asarray(again["a"]), host["a"])
+    # a differently-sharded (fresh host) leaf still gets placed
+    mixed = dict(a=dev["a"], b=host["b"])
+    out = shard_batch_pytree(mixed, mesh)
+    assert out["a"] is dev["a"]
+    np.testing.assert_array_equal(np.asarray(out["b"]), host["b"])

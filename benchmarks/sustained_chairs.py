@@ -1,9 +1,14 @@
-"""Sustained end-to-end ShapeNet-chairs run (real TPU, single chip).
+"""Sustained end-to-end ShapeNet training run (real TPU, single chip).
 
 Unlike ``bench.py`` (pure device step time on pre-staged batches), this
 measures the full training loop: ``ShapeNetLearner.fit`` with logging,
 metric fetches every ``log_every`` steps, and a checkpoint at the end —
-the number a user sees on the wall clock for a real run.
+the number a user sees on the wall clock for a real run.  All three
+reference categories are supported (``--category chairs|planes|cars``),
+the schedule denominator can be pinned to the production value
+(``--schedule_steps 130000`` runs a prefix of the real schedule), and
+``--probe_every N`` instruments the loop with per-N-step dispatch/fenced
+/RSS/GC probes (the round-4 throughput-decay investigation).
 
 Batches come from a fixed pre-staged pool of ``SyntheticSilhouettes``
 (see docs/runs/README.md for the axon-tunnel streaming caveat; the real

@@ -29,6 +29,26 @@ import subprocess
 import sys
 import time
 
+# v5e bf16 peak (MXU); MFU here is a guideline, not a gate: both workloads
+# are measured against this single number even though some heads run f32.
+PEAK_FLOPS = 197e12
+
+
+def _analytic_flops(key: str) -> float | None:
+    """Cached analytic FLOPs from benchmarks/flops_cache.json (committed;
+    regenerate with ``python benchmarks/flops_count.py`` after model
+    changes).  XLA HLO cost analysis of the lowered step — for chairs this
+    is the dense-projection p=1.0 workload, so MFU is computed against the
+    end-of-schedule step time, where the Pallas kernel does the same work.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "flops_cache.json")
+    try:
+        with open(path) as fh:
+            return float(json.load(fh)[key])
+    except Exception:
+        return None
+
 
 def _prior_value(unit: str, metric: str | None = None):
     """Latest recorded value with this unit (and metric, if given) from
@@ -61,20 +81,27 @@ def _prior_value(unit: str, metric: str | None = None):
 
 def _prior_gan_ms():
     """Prior GAN iteration ms: either a dedicated gan record or the
-    ``gan_512_cond_iter_ms`` key folded into a combined chairs record."""
-    prior, prior_name = _prior_value("ms", "gan_512_cond_iter_time")
+    ``gan_512_cond_iter_ms`` key folded into a combined chairs record.
+
+    Candidates are ranked by ROUND NUMBER regardless of record shape, so a
+    newer dedicated record is never shadowed by an older folded one.
+    """
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.findall(r"\d+", os.path.basename(p))[0]),
-    )
-    for path in paths:
+    best_round, prior, prior_name = -1, None, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
+            rnd = int(re.findall(r"\d+", os.path.basename(path))[0])
             with open(path) as fh:
                 rec = json.load(fh)
             rec = rec.get("parsed", rec)
             if "gan_512_cond_iter_ms" in rec:
-                prior = float(rec["gan_512_cond_iter_ms"])
+                value = float(rec["gan_512_cond_iter_ms"])
+            elif rec.get("metric") == "gan_512_cond_iter_time":
+                value = float(rec["value"])
+            else:
+                continue
+            if rnd > best_round:
+                best_round, prior = rnd, value
                 prior_name = os.path.splitext(os.path.basename(path))[0]
         except Exception:
             pass
@@ -129,6 +156,9 @@ def main_gan(emit: bool = True) -> dict:
         "vs_baseline": round(vs_baseline, 4),
         "baseline": prior_name or "none",
     }
+    flops = _analytic_flops("gan_1g2d_group_flops_bs32")
+    if flops:
+        rec["mfu_pct"] = round(flops / (value / 1e3) / PEAK_FLOPS * 100, 2)
     if emit:
         print(json.dumps(rec), flush=True)
     return rec
@@ -251,11 +281,19 @@ def main(gan_rec: dict | None = None) -> None:
         # is the other end of the range a full 130k-step run sweeps.
         "end_of_schedule_imgs_per_sec": round(imgs_per_sec_end, 3),
     }
+    # MFU vs the v5e bf16 peak at the p=1.0 point, where the measured step
+    # does the same work the analytic (dense-path) FLOPs count describes
+    flops = _analytic_flops("chairs_train_step_flops")
+    if flops:
+        step_s = dt_end / n_steps
+        rec["mfu_pct"] = round(flops / step_s / PEAK_FLOPS * 100, 2)
     if gan_rec is not None:
         # fold the GAN number into the SAME line: the driver keeps only the
         # last JSON line + a short tail, which XLA warnings can fill.
         rec["gan_512_cond_iter_ms"] = gan_rec["value"]
         rec["gan_vs_baseline"] = gan_rec["vs_baseline"]
+        if "mfu_pct" in gan_rec:
+            rec["gan_mfu_pct"] = gan_rec["mfu_pct"]
     print(json.dumps(rec), flush=True)
 
 

@@ -39,8 +39,11 @@ def timeit(fn, *args, iters=20):
     """
 
     def fence(out):
+        # slice the scalar ON DEVICE before fetching: np.asarray(leaf) would
+        # pull the whole (rows, n) array through the tunnel per iteration
+        # (~15 MB), adding a bulk-transfer constant to every variant's time
         leaf = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(leaf).ravel()[0])
+        float(jax.numpy.ravel(leaf)[0])
 
     fence(fn(*args))  # compile
     ts = []

@@ -97,9 +97,12 @@ def main() -> None:
 
     iters_per_epoch = -(-args.images // args.batch_size)
     total_iters = args.epochs * iters_per_epoch
-    recs = [json.loads(line) for line in
-            open(os.path.join(root, "gan_weights", "sustained_512",
-                              "metrics_gan.jsonl"))]
+    # guard the metrics read (as sustained_recon.py does): if the CLI failed
+    # before writing metrics, still emit the summary JSON with rc/wall
+    metrics_path = os.path.join(root, "gan_weights", "sustained_512",
+                                "metrics_gan.jsonl")
+    recs = ([json.loads(line) for line in open(metrics_path)]
+            if os.path.exists(metrics_path) else [])
     def series(key):
         vals = [(r["step"], r[key]) for r in recs if key in r]
         return (round(vals[0][1], 3), round(vals[-1][1], 3)) if vals else None

@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "the jax runtime (SPMD over all visible chips)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="data-loading threads")
+    p.add_argument("--device_cache", action="store_true",
+                   help="stage the whole pseudo-gt cache in device memory "
+                        "once and assemble batches on device (jitted gather "
+                        "+ UV-mirror augmentation; same epoch/augment "
+                        "semantics as the host iterator).  Removes the "
+                        "per-step host->device upload for caches that fit "
+                        "in HBM — the right layout when the host link is "
+                        "slow or remote (new flag; no reference analogue)")
     p.add_argument("--text_max_length", type=int, default=18)
     p.add_argument("--text_pretrained_encoder", type=str,
                    default="cache/cub/text_encoder200.pth")
@@ -506,6 +514,22 @@ def main(argv=None) -> int:
 
         profiler = StepProfiler(args.profile_dir)
 
+    dev_cache = None
+    if args.device_cache:
+        from im23d_tpu.data.device_cache import DeviceGANCache
+
+        dev_cache = DeviceGANCache(ds, args.batch_size, mesh=trainer.mesh)
+        logger.log_text(
+            f"device_cache: staged {len(ds)} items "
+            f"({dev_cache.nbytes() / 1e6:.0f} MB) in device memory"
+        )
+
+    def epoch_iterator(epoch):
+        if dev_cache is not None:
+            return dev_cache.epoch_batches(epoch)
+        return gan_batch_iterator(ds, args.batch_size, seed=epoch,
+                                  num_workers=args.num_workers)
+
     try:
         for epoch in range(trainer.epoch, args.epochs):
             trainer.epoch = epoch
@@ -513,10 +537,7 @@ def main(argv=None) -> int:
             # host fetches of loss scalars stall the device pipeline, so
             # sample them: the first 1G+2D group each epoch (so both g_ and
             # d_ curves are always populated) + every 10th iteration after
-            for it_in_epoch, batch in enumerate(
-                gan_batch_iterator(ds, args.batch_size, seed=epoch,
-                                   num_workers=args.num_workers)
-            ):
+            for it_in_epoch, batch in enumerate(epoch_iterator(epoch)):
                 if profiler is not None:
                     profiler.tick()
                 losses = trainer.train_step(batch)

@@ -64,6 +64,14 @@ if _cache != "0":
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # With the persistent cache enabled jax embeds ABSOLUTE XLA-cache
+        # paths (<cache_dir>/xla_gpu_*) into compile_options, which are
+        # hashed into every cache key — keys then differ per checkout path
+        # and the committed seed never hits from a fresh clone (round-5
+        # root cause of the round-4 "path-sensitive keys" observation).
+        # The XLA-level caches are GPU-oriented no-ops here; disable them
+        # so keys are relocatable.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass  # read-only checkout etc.: run without the cache
 

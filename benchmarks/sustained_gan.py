@@ -67,11 +67,32 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--texture_resolution", type=int, default=512)
     ap.add_argument("--root", default=None)
+    ap.add_argument("--noise", action="store_true",
+                    help="round-4 uniform-noise pseudo-gt (loop-machinery "
+                    "evidence only: the critics trivially win).  Default is "
+                    "the STRUCTURED fabricator (data/fabricate.py) whose "
+                    "distribution the generator can actually learn, with "
+                    "fid_uncalibrated real stats in the cache")
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--device_cache", action="store_true",
+                    help="pass --device_cache to the CLI: stage the cache "
+                    "in HBM once (the axon tunnel pays ~9 s/iteration for "
+                    "host-fed 512² bs-32 batches; docs/runs/README.md)")
+    ap.add_argument("--evaluate_freq", type=int, default=0,
+                    help="epochs between in-training FID evals (0 = never)")
     args = ap.parse_args()
 
     root = args.root or f"/tmp/gan_sustained_{os.getpid()}"
     t0 = time.time()
-    make_cache(root, args.images, args.texture_resolution)
+    if args.noise:
+        make_cache(root, args.images, args.texture_resolution)
+    else:
+        from im23d_tpu.data.fabricate import build_structured_cache
+
+        build_structured_cache(
+            root, args.images, resolution=args.texture_resolution,
+            n_classes=args.classes, seed=0,
+        )
     print(f"[phase] cache fabrication {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
     os.chdir(root)  # the CLI resolves gan_weights/ and datasets/ from CWD
@@ -91,8 +112,8 @@ def main() -> None:
         "--num_workers", "2",
         "--save_freq", "50",
         "--checkpoint_freq", str(args.epochs),       # one numbered at the end
-        "--evaluate_freq", str(10 * args.epochs),    # skip in-loop FID
-    ])
+        "--evaluate_freq", str(args.evaluate_freq or 10 * args.epochs),
+    ] + (["--device_cache"] if args.device_cache else []))
     wall = time.time() - t0
 
     iters_per_epoch = -(-args.images // args.batch_size)
@@ -107,9 +128,20 @@ def main() -> None:
         vals = [(r["step"], r[key]) for r in recs if key in r]
         return (round(vals[0][1], 3), round(vals[-1][1], 3)) if vals else None
 
+    # full fid_uncalibrated trajectory: THE learning-evidence series for a
+    # structured run (decreasing = G approaches the fabricated distribution)
+    fid_series = {
+        k: [(r["step"], round(r[k], 2)) for r in recs if k in r]
+        for k in ("fid_uncalibrated/combined", "fid_uncalibrated/texture_only",
+                  "fid_uncalibrated/mesh_only")
+    }
+    fid_series = {k: v for k, v in fid_series.items() if v}
+
     groups = total_iters / 3.0  # 1G+2D
     print(json.dumps({
         "bench": "sustained_gan_512",
+        "structured": not args.noise,
+        "fid_series": fid_series or None,
         "rc": rc,
         "epochs": args.epochs,
         "iterations": total_iters,

@@ -27,14 +27,27 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=50)
     ap.add_argument("--batch_size", type=int, default=50)
     ap.add_argument("--root", default=None)
+    ap.add_argument("--noise", action="store_true",
+                    help="round-4 noise photos (loop-machinery evidence "
+                    "only; mIoU means nothing).  Default renders STRUCTURED "
+                    "geometry through the framework renderer "
+                    "(data/fabricate.py) so the mesh-estimation objective "
+                    "has real signal and mIoU can rise")
+    ap.add_argument("--evaluate_freq", type=int, default=0,
+                    help="epochs between mIoU evals (0 = twice per run)")
     args = ap.parse_args()
-
-    from test_cli_recon import make_fake_cub_tree  # noqa: E402
 
     root = args.root or f"/tmp/recon_sustained_{os.getpid()}"
     os.makedirs(root, exist_ok=True)
     t0 = time.time()
-    make_fake_cub_tree(root, n=args.images, img_hw=(300, 400))
+    if args.noise:
+        from test_cli_recon import make_fake_cub_tree  # noqa: E402
+
+        make_fake_cub_tree(root, n=args.images, img_hw=(300, 400))
+    else:
+        from im23d_tpu.data.fabricate import build_structured_cmr_tree
+
+        build_structured_cmr_tree(root, n=args.images)
     print(f"[phase] data fabrication {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
     os.chdir(root)  # the CLI resolves checkpoints_recon/ and datasets/ here
@@ -52,7 +65,8 @@ def main() -> None:
         "--compute_dtype", "bfloat16",
         "--epochs", str(args.epochs),
         "--num_workers", "2",
-        "--evaluate_freq", str(max(args.epochs // 2, 1)),
+        "--evaluate_freq", str(args.evaluate_freq
+                               or max(args.epochs // 2, 1)),
         "--image_freq", str(10 * args.epochs),
         "--save_freq", str(max(args.epochs // 2, 1)),
         "--checkpoint_freq", str(args.epochs),
@@ -79,10 +93,16 @@ def main() -> None:
             vals = [r[key] for r in recs if key in r]
             return ([round(vals[0], 4), round(vals[-1], 4)] if vals else None)
 
+        def full_series(key):
+            vals = [(r["step"], round(r[key], 4)) for r in recs if key in r]
+            return vals or None
+
         summary.update(
+            structured=not args.noise,
             recon_loss_first_last=series("recon_loss"),
             flat_loss_first_last=series("flat_loss"),
             miou_first_last=series("iou") or series("val/iou"),
+            miou_series=full_series("iou") or full_series("val/iou"),
             metrics=mpath,
         )
     print(json.dumps(summary), flush=True)

@@ -324,3 +324,114 @@ def build_structured_cache(
             num_images=len(acts[1::2]), resolution=fid_resolution,
         )
     return cache
+
+
+def build_structured_cmr_tree(root: str, n: int, photo_res: int = 256,
+                              texture_resolution: int = 128,
+                              n_classes: int = 4, seed: int = 0,
+                              batch: int = 10) -> str:
+    """CMR-format CUB tree whose photos are RENDERS of known geometry.
+
+    The round-4 recon sustained run trained on uniform-noise photos, so its
+    mIoU exercised the code path but meant nothing.  Here each photo is the
+    framework's own render of a structured (texture, displacement) pair
+    under a known sfm pose, with mask = render alpha and a tight bbox — so
+    the mesh-estimation driver (renderer-in-the-loop MSE,
+    ``cli/run_reconstruction.py``) has real signal and mIoU can rise.
+
+    Pose bookkeeping: the CMR loader (``data/cmr.py:119-165``) crops,
+    rescales and normalizes the sfm pose consistently with the image, so it
+    suffices to render with a chosen NORMALIZED pose (scale_n, t_n, quat)
+    and write the .mat in photo-pixel units: scale_px = scale_n·R/2,
+    t_px = (t_n + 1)·R/2 (inverse of ``normalize_kp``); any padding/jitter
+    the loader applies later transforms photo and pose together.
+
+    Returns ``<root>/datasets``.
+    """
+    import jax.numpy as jnp
+    import scipy.io as sio
+    from PIL import Image
+
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.train.gan_eval import render_generated
+
+    fab = StructuredPseudoGT(n, texture_resolution, n_classes=n_classes,
+                             seed=seed)
+    template = MeshTemplate(segments=32, rings=16)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 3]))
+
+    cub = os.path.join(root, "datasets", "cub")
+    img_dir = os.path.join(cub, "CUB_200_2011", "images")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(os.path.join(cub, "data"), exist_ok=True)
+    os.makedirs(os.path.join(cub, "sfm"), exist_ok=True)
+
+    scale_n = 0.55 + 0.1 * rng.random(n)
+    t_n = 0.1 * rng.standard_normal((n, 2))
+    quat = _unit(rng.standard_normal((n, 4)))
+
+    import jax
+
+    render = jax.jit(lambda m, t, s, tr, r: render_generated(
+        template, photo_res, m, t, s, tr, r
+    ))
+
+    images = np.zeros(
+        (n,), dtype=[("rel_path", "O"), ("mask", "O"), ("bbox", "O"),
+                     ("parts", "O")]
+    )
+    sfm = np.zeros((n,), dtype=[("scale", "O"), ("trans", "O"), ("rot", "O")])
+
+    for start in range(0, n, batch):
+        idxs = list(range(start, min(start + batch, n)))
+        pad = batch - len(idxs)
+        sel = idxs + [idxs[-1]] * pad
+        maps = [fab.maps(i) for i in sel]
+        tex = jnp.asarray(
+            np.stack([m["texture"].transpose(1, 2, 0) for m in maps]),
+            jnp.float32,
+        )
+        mesh = jnp.asarray(
+            np.stack([m["mesh"].transpose(1, 2, 0) for m in maps]),
+            jnp.float32,
+        )
+        tr3 = np.concatenate([t_n[sel], np.zeros((len(sel), 1))], axis=1)
+        img, alpha = render(
+            mesh, tex, jnp.asarray(scale_n[sel], jnp.float32),
+            jnp.asarray(tr3, jnp.float32), jnp.asarray(quat[sel], jnp.float32),
+        )
+        img = np.asarray(img)
+        alpha = np.asarray(alpha)
+        for j, i in enumerate(idxs):
+            mask = (alpha[j, ..., 0] > 0.5).astype(np.uint8)
+            photo = np.where(alpha[j] > 0.5, img[j], 1.0)
+            rel = f"img_{i}.png"
+            Image.fromarray(
+                (np.clip(photo, 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(img_dir, rel))
+            ys, xs = np.nonzero(mask)
+            if len(xs) == 0:  # degenerate render: full-frame bbox
+                x1, y1, x2, y2 = 1.0, 1.0, float(photo_res), float(photo_res)
+            else:  # 1-based inclusive, as in the real annotations
+                x1, y1 = float(xs.min() + 1), float(ys.min() + 1)
+                x2, y2 = float(xs.max() + 1), float(ys.max() + 1)
+            images[i] = (
+                rel, mask, {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
+                np.zeros((3, 15)),
+            )
+            # inverse of normalize_kp for a photo_res-square image
+            scale_px = scale_n[i] * photo_res / 2.0
+            t_px = (t_n[i] + 1.0) * photo_res / 2.0
+            from im23d_tpu.data.cmr import quaternion_matrix
+
+            sfm[i] = (
+                np.float64(scale_px), t_px.astype(np.float64),
+                quaternion_matrix(quat[i])[:3, :3],
+            )
+
+    for split in ("train", "testval"):
+        sio.savemat(os.path.join(cub, "data", f"{split}_cub_cleaned.mat"),
+                    {"images": images})
+        sio.savemat(os.path.join(cub, "sfm", f"anno_{split}.mat"),
+                    {"sfm_anno": sfm})
+    return os.path.join(root, "datasets")

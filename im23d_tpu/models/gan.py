@@ -148,6 +148,37 @@ class ConditionalNorm(nn.Module):
         return h * (1.0 + gamma) + beta
 
 
+class _HeadConvTanh(nn.Module):
+    """conv_final + tanh with the same param tree as ``nn.Conv`` (kernel,
+    bias) so checkpoints/weight import are unchanged; dispatches to the
+    folded-width Pallas kernel on TPU and the plain XLA conv elsewhere."""
+
+    features: int = 3
+    dtype: Any = jnp.float32
+    pad_mode: str = "replicate"
+
+    @nn.compact
+    def __call__(self, x):
+        from im23d_tpu.ops.conv_pallas import head_conv_tanh, use_pallas_head
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (5, 5, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype
+        x = x.astype(dt)
+        if use_pallas_head() and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0:
+            y4 = head_conv_tanh(x, kernel.astype(dt), bias, True, self.pad_mode)
+            return y4[..., : self.features]
+        pad = replicate_pad_w if self.pad_mode == "replicate" else circular_pad_w
+        y = jax.lax.conv_general_dilated(
+            pad(x, 2), kernel.astype(dt), (1, 1), ((2, 2), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(dt)
+        return jnp.tanh(y.astype(jnp.float32)).astype(dt)
+
+
 class ResBlockUp(nn.Module):
     """Spectral-norm 3x3 conv block with conditional norm
     (reference ``gan.py:288-312``; no upsampling inside — callers upsample)."""
@@ -267,11 +298,15 @@ class Generator(nn.Module):
         # dtype: casting the 512^2 map to f32 here forces full-size f32
         # layout copies between G and D (profiled at ~12 ms/step at bs16) —
         # the trainer upcasts only where full precision is consumed (losses,
-        # vertex sampling, export)
-        x_tex = jnp.tanh(
-            nn.Conv(3, (5, 5), padding=((2, 2), (0, 0)), name="conv_final",
-                    dtype=dt)(pad(x_tex, 2)).astype(jnp.float32)
-        ).astype(dt)
+        # vertex sampling, export).  On TPU the conv+bias+tanh trio runs as
+        # the folded-width Pallas kernel (ops/conv_pallas.py): XLA's C_out=3
+        # emitters put 3 of 128 lanes to work (~18.7 ms of the bs-32 G step,
+        # docs/runs/README.md roofline study).
+        x_tex = _HeadConvTanh(
+            dtype=dt,
+            pad_mode="replicate" if cfg.symmetric_g else "circular",
+            name="conv_final",
+        )(x_tex)
         if dt != jnp.float32:
             # pin the f32->bf16 convert here: without the barrier XLA sinks
             # it past the downstream mask-multiply/concat, materializing the

@@ -135,3 +135,38 @@ def test_device_cache_trains_one_step(tmp_path):
         losses = trainer.train_step(batch)
     val = float(list(losses.values())[0])
     assert val == val
+
+
+def test_structured_cmr_tree_pose_consistent(tmp_path):
+    """The fabricated photos are renders under the sfm poses: re-rendering
+    the SAME geometry with the loader's post-crop pose must reproduce the
+    loader's mask (the property that gives the recon driver real signal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from im23d_tpu.data.cmr import CUBDataset
+    from im23d_tpu.data.fabricate import StructuredPseudoGT, build_structured_cmr_tree
+    from im23d_tpu.geometry.mesh_template import MeshTemplate
+    from im23d_tpu.train.gan_eval import render_generated
+
+    root = str(tmp_path)
+    ds_root = build_structured_cmr_tree(root, 3, photo_res=64, batch=3)
+    ds = CUBDataset(ds_root, "train", is_train=False, img_size=64)
+    fab = StructuredPseudoGT(3, 128, n_classes=4, seed=0)
+    template = MeshTemplate(segments=32, rings=16)
+    for i in range(3):
+        item = ds[i]
+        maps = fab.maps(i)
+        img, alpha = render_generated(
+            template, 64,
+            jnp.asarray(maps["mesh"].transpose(1, 2, 0), jnp.float32)[None],
+            jnp.asarray(maps["texture"].transpose(1, 2, 0), jnp.float32)[None],
+            jnp.asarray([item["scale"]]),
+            jnp.asarray(item["translation"])[None],
+            jnp.asarray(item["rotation"])[None],
+        )
+        pred = np.asarray(alpha[0, ..., 0]) > 0.5
+        gt = np.asarray(item["image"][..., 3]) > 0.5
+        inter = np.logical_and(pred, gt).sum()
+        union = np.logical_or(pred, gt).sum()
+        assert inter / max(union, 1) > 0.75, (i, inter / max(union, 1))

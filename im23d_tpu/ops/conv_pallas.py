@@ -318,3 +318,205 @@ def _head_bwd(tanh_out, pad_mode, residuals, dy):
 
 
 head_conv_tanh.defvjp(_head_fwd, _head_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused affine+lrelu+conv3x3 for the 64/128-channel 512² ResBlockUp stage.
+#
+# y = conv3x3(act),  act = leaky_relu(x*A + Bb)  with per-(batch, channel)
+# A/Bb (the BatchNorm/conditional-affine chain folded to one multiply-add:
+# A = inv_std*(1+gamma), Bb = beta - mean*A).  The elementwise chain rides
+# INSIDE the conv kernel in both directions, so the memory-bound norm/lrelu
+# backward fusions the round-3 roofline study measured at ~26 ms of the
+# bs-32 G step (conditional-norm bwd 14.1 + leaky-relu bwd selects 12.5)
+# never materialize.  Folding/tiling identical to the head kernel above
+# with co_pad == Cout (64 keeps full 128-lane tiles at Wb=2k).
+# ---------------------------------------------------------------------------
+
+_LRELU_SLOPE = 0.2
+
+
+def _affine_act(xs, a_row, b_row, row_mask):
+    """lrelu(xs*a + b) masked to zero on H-pad rows; f32 in, dtype out."""
+    pre = xs.astype(jnp.float32) * a_row + b_row
+    act = jnp.where(pre >= 0, pre, _LRELU_SLOPE * pre)
+    return jnp.where(row_mask, act, 0.0)
+
+
+def _fused_fwd_kernel(x_hbm, at_hbm, bt_hbm, w2_ref, out_ref, xbuf, abuf,
+                      bbuf, sems, *, R, H, W, Wb, KH, KW, Cin, Cout,
+                      affine):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    Win = Wb + KW - 1
+    dma_x = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(s * R, R + KH - 1), :], xbuf, sems.at[0]
+    )
+    dma_x.start()
+    if affine:
+        dma_a = pltpu.make_async_copy(at_hbm.at[b], abuf, sems.at[1])
+        dma_b = pltpu.make_async_copy(bt_hbm.at[b], bbuf, sems.at[2])
+        dma_a.start()
+        dma_b.start()
+        dma_a.wait()
+        dma_b.wait()
+    dma_x.wait()
+
+    ph = (KH - 1) // 2
+    # global padded-row index of xbuf row r is s*R + r; pad rows (0, H+1)
+    # must stay zero through the affine
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R + KH - 1, 1), 0) + s * R
+    row_mask = jnp.logical_and(rows > ph - 1, rows < H + ph)
+
+    for wi in range(W // Wb):
+        acc = jnp.zeros((R, Wb * Cout), jnp.float32)
+        for dh in range(KH):
+            xs = xbuf[pl.ds(dh, R), pl.ds(wi * Wb * Cin, Win * Cin)]
+            if affine:
+                sl = pl.ds(wi * Wb * Cin, Win * Cin)
+                a_row = abuf[0, sl][None, :]
+                b_row = bbuf[0, sl][None, :]
+                act = _affine_act(
+                    xs, a_row, b_row, row_mask[dh:dh + R]
+                ).astype(xbuf.dtype)
+            else:
+                act = xs
+            acc = acc + jax.lax.dot_general(
+                act, w2_ref[dh],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, :, pl.ds(wi * Wb * Cout, Wb * Cout)] = acc.astype(
+            out_ref.dtype
+        )
+
+
+def _fused_conv_fwd_call(xp2, at, bt, kernel, H, W, R, Wb, out_dtype):
+    B = xp2.shape[0]
+    KH, KW, Cin, Cout = kernel.shape
+    Win = Wb + KW - 1
+    w2 = _fold_fwd_weights(kernel, Wb, Cout)
+    affine = at is not None
+    if not affine:  # dummies keep the pallas signature static
+        at = jnp.zeros((B, 1, (W + KW - 1) * Cin), jnp.float32)
+        bt = at
+    kern = functools.partial(
+        _fused_fwd_kernel, R=R, H=H, W=W, Wb=Wb, KH=KH, KW=KW, Cin=Cin,
+        Cout=Cout, affine=affine,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // R),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((KH, Win * Cin, Wb * Cout), lambda b, s: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, R, W * Cout), lambda b, s: (b, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + KH - 1, (W + KW - 1) * Cin), xp2.dtype),
+            pltpu.VMEM((1, (W + KW - 1) * Cin), jnp.float32),
+            pltpu.VMEM((1, (W + KW - 1) * Cin), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=_use_interpret(),
+    )(xp2, at, bt, w2)
+
+
+def _tile_affine(v: jnp.ndarray, W: int, KW: int) -> jnp.ndarray:
+    """(B, Cin) -> (B, 1, (W+KW-1)*Cin) lane-tiled f32 (kernel row vector)."""
+    B, Cin = v.shape
+    return jnp.tile(v.astype(jnp.float32), (1, W + KW - 1))[:, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_affine_conv3x3(x, a, bb, kernel, _unused, pad_mode="replicate"):
+    """conv3x3(leaky_relu(x*a + bb)) with {replicate|circular}-W / zero-H
+    padding; a, bb are per-(batch, channel) affine rows or None (plain
+    conv).  (B, H, W, Cin) -> (B, H, W, Cout) in the input dtype."""
+    y, _ = _fused_fwd(x, a, bb, kernel, _unused, pad_mode)
+    return y
+
+
+def _fused_fwd(x, a, bb, kernel, _unused, pad_mode):
+    B, H, W, Cin = x.shape
+    KH, KW, Cin_k, Cout = kernel.shape
+    assert Cin_k == Cin
+    R = 128 if H % 128 == 0 else H
+    Wb = 4 if (W % 4 == 0 and Cout % 32 == 0) else W
+    xp2 = _pad_input(x, KH, KW, pad_mode)
+    at = _tile_affine(a, W, KW) if a is not None else None
+    bt = _tile_affine(bb, W, KW) if bb is not None else None
+    y2 = _fused_conv_fwd_call(xp2, at, bt, kernel.astype(x.dtype), H, W, R,
+                              Wb, x.dtype)
+    y = y2.reshape(B, H, W, Cout)
+    return y, (x, a, bb, kernel)
+
+
+def _fused_bwd(pad_mode, residuals, dy):
+    """Reference backward in XLA (correct, unfused): recompute act, use
+    conv transposes.  The Pallas backward kernels land separately; this
+    keeps the op differentiable end-to-end meanwhile."""
+    x, a, bb, kernel = residuals
+    KH, KW, Cin, Cout = kernel.shape
+    B, H, W, _ = x.shape
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+
+    xf = x.astype(jnp.float32)
+    if a is not None:
+        pre = xf * a[:, None, None, :] + bb[:, None, None, :]
+        act = jnp.where(pre >= 0, pre, _LRELU_SLOPE * pre)
+    else:
+        act = xf
+    # pad act exactly as the kernel does
+    if pad_mode == "replicate":
+        left = jnp.repeat(act[:, :, :1], pw, axis=2)
+        right = jnp.repeat(act[:, :, -1:], pw, axis=2)
+    else:
+        left, right = act[:, :, -pw:], act[:, :, :pw]
+    actp = jnp.concatenate([left, act, right], axis=2)
+    actp = jnp.pad(actp, ((0, 0), (ph, ph), (0, 0), (0, 0)))
+
+    dyf = dy.astype(jnp.float32)
+    kf = kernel.astype(jnp.float32)
+    # dW: correlate padded activations with dy
+    dkernel = jax.lax.conv_general_dilated(
+        jnp.transpose(actp, (3, 1, 2, 0)),       # (Cin, Hp, Wp, B)
+        jnp.transpose(dyf, (1, 2, 0, 3)),        # (H, W, B, Cout)
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (Cin, KH, KW, Cout)
+    dkernel = jnp.transpose(dkernel, (1, 2, 0, 3)).astype(kernel.dtype)
+
+    # dact via transpose conv
+    flip = kf[::-1, ::-1]
+    dactp = jax.lax.conv_general_dilated(
+        dyf, jnp.swapaxes(flip, 2, 3), (1, 1),
+        ((KH - 1, KH - 1), (KW - 1, KW - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H+KH-1, W+KW-1, Cin): grads w.r.t. actp
+    dact = dactp[:, ph:ph + H]
+    dact_mid = dact[:, :, pw:pw + W]
+    if pad_mode == "replicate":
+        dact_mid = dact_mid.at[:, :, 0].add(
+            jnp.sum(dact[:, :, :pw], axis=2)
+        ).at[:, :, -1].add(jnp.sum(dact[:, :, pw + W:], axis=2))
+    else:
+        dact_mid = dact_mid.at[:, :, W - pw:].add(dact[:, :, :pw])
+        dact_mid = dact_mid.at[:, :, :pw].add(dact[:, :, pw + W:])
+
+    if a is not None:
+        dpre = dact_mid * jnp.where(pre >= 0, 1.0, _LRELU_SLOPE)
+        dx = (dpre * a[:, None, None, :]).astype(x.dtype)
+        da = jnp.sum(dpre * xf, axis=(1, 2)).astype(a.dtype)
+        dbb = jnp.sum(dpre, axis=(1, 2)).astype(bb.dtype)
+    else:
+        dx = dact_mid.astype(x.dtype)
+        da = None
+        dbb = None
+    return dx, da, dbb, dkernel, None
+
+
+fused_affine_conv3x3.defvjp(_fused_fwd, _fused_bwd)

@@ -93,3 +93,50 @@ def test_generator_head_pallas_matches_flax(monkeypatch):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(mesh_p), np.asarray(mesh_ref),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("affine", [True, False])
+@pytest.mark.parametrize("pad_mode", ["replicate", "circular"])
+def test_fused_affine_conv3x3(affine, pad_mode):
+    from im23d_tpu.ops.conv_pallas import fused_affine_conv3x3
+
+    rng = np.random.default_rng(0)
+    B, H, W, Cin, Cout = 2, 8, 16, 8, 32
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.1, jnp.float32)
+    a = jnp.asarray(1.0 + 0.1 * rng.standard_normal((B, Cin)), jnp.float32)
+    bb = jnp.asarray(0.1 * rng.standard_normal((B, Cin)), jnp.float32)
+
+    def ref(x, a, bb, k):
+        if a is not None:
+            pre = x * a[:, None, None, :] + bb[:, None, None, :]
+            act = jnp.where(pre >= 0, pre, 0.2 * pre)
+        else:
+            act = x
+        if pad_mode == "replicate":
+            left, right = act[:, :, :1], act[:, :, -1:]
+        else:
+            left, right = act[:, :, -1:], act[:, :, :1]
+        ap = jnp.concatenate([left, act, right], axis=2)
+        return jax.lax.conv_general_dilated(
+            ap, k, (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    aa = a if affine else None
+    bbb = bb if affine else None
+    y = fused_affine_conv3x3(x, aa, bbb, k, None, pad_mode)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x, aa, bbb, k)),
+                               atol=3e-6)
+    if affine:
+        co = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+        gp = jax.grad(
+            lambda *s: jnp.sum(fused_affine_conv3x3(*s, None, pad_mode) * co),
+            argnums=(0, 1, 2, 3),
+        )(x, a, bb, k)
+        gr = jax.grad(lambda *s: jnp.sum(ref(*s) * co), argnums=(0, 1, 2, 3))(
+            x, a, bb, k
+        )
+        for name, p, r in zip(("dx", "da", "dbb", "dk"), gp, gr):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                       atol=1e-4, err_msg=name)

@@ -27,6 +27,7 @@ the reference ``TrilinearInterpolation`` (``code/utils/trilinear_interpolation.p
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -862,7 +863,8 @@ def _prep_projection(points, size: int, weights, border_eps: float):
     safe = (c > 0).astype(pz.dtype)
     comps = [(S - 1) * (p + 0.5) * safe for p in (pz, py, px)]
 
-    n_pad = _round_up(max(N, _LANES), _LANES)
+    # pad to the windowed kernels' block width so block windows tile N
+    n_pad = _round_up(max(N, _LANES), max(_LANES, _sorted_blk()))
     if n_pad != N:
         pad = [(0, 0), (0, n_pad - N)]
         comps = [jnp.pad(g, pad) for g in comps]
@@ -935,11 +937,26 @@ _Z_SENTINEL = 4096.0  # sort key for culled points: beyond any chunk window
 
 def _sorted_z_chunk(size: int) -> int:
     # measured on v5e at chairs scale: ZC=8 widens each chunk's point window
-    # more than it saves in loop trips; ZC=4 is the sweet spot
+    # more than it saves in loop trips; ZC=4 is the sweet spot.
+    # IM23D_SPLAT_ZC overrides for experiments (read at trace time — set it
+    # before the first jit of a process).
+    override = int(os.environ.get("IM23D_SPLAT_ZC", "0"))
+    if override and size % override == 0:
+        return override
     for zc in (4, 2):
         if size % zc == 0:
             return zc
     return 1
+
+
+def _sorted_blk() -> int:
+    """Lane width of the windowed kernels' contraction blocks (and of the
+    block-window granularity).  IM23D_SPLAT_BLK overrides (multiple of 128;
+    read at trace time) — at high keep-prob p the per-chunk windows span
+    many 128-lane blocks and wider blocks halve the loop-trip count."""
+    blk = int(os.environ.get("IM23D_SPLAT_BLK", str(_LANES)))
+    assert blk % _LANES == 0, blk
+    return blk
 
 
 def _splat_sorted_to(vox_ref, gz_ref, gy_ref, gx_ref, c_ref, blo_ref,
@@ -947,7 +964,7 @@ def _splat_sorted_to(vox_ref, gz_ref, gy_ref, gx_ref, c_ref, blo_ref,
     """Windowed splat of z-sorted points: writes the raw grid to vox_ref."""
     S = size
     ZC = z_chunk
-    BLK = _LANES
+    BLK = _sorted_blk()
     prec = _precision(dot_dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, (S, BLK), 0).astype(
         jnp.float32
@@ -994,7 +1011,7 @@ def _splat_sorted_bwd_accum(dvox_ref, gz_ref, gy_ref, gx_ref, c_ref,
     windows instead of all-N)."""
     S = size
     ZC = z_chunk
-    BLK = _LANES
+    BLK = _sorted_blk()
     N = gz_ref.shape[-1]
     prec = _precision(dot_dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, (S, BLK), 0).astype(
@@ -1217,8 +1234,9 @@ def _sort_and_windows(gz, gy, gx, c, size: int, z_chunk: int,
     lo = jnp.sum(key_s[:, :, None] < (z0s - 1.0), axis=1, dtype=jnp.int32)
     hi = jnp.sum(key_s[:, :, None] < (z0s + z_chunk), axis=1,
                  dtype=jnp.int32)
-    blo = (lo // _LANES).astype(jnp.int32)
-    bhi = ((hi + _LANES - 1) // _LANES).astype(jnp.int32)
+    blk = _sorted_blk()
+    blo = (lo // blk).astype(jnp.int32)
+    bhi = ((hi + blk - 1) // blk).astype(jnp.int32)
     return key_s, gy_s, gx_s, c_s, perm, blo, bhi
 
 

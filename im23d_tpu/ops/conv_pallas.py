@@ -94,7 +94,7 @@ def _fwd_kernel(x_hbm, w2_ref, bias_ref, out_ref, xbuf, sem, *, R, W, Wb,
     s = pl.program_id(1)
     Win = Wb + KW - 1
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(s * R, R + KH - 1), :], xbuf, sem
+        x_hbm.at[b, pl.ds(s * R, _dma_rows(R, KH)), :], xbuf, sem
     )
     dma.start()
     dma.wait()
@@ -115,8 +115,16 @@ def _fwd_kernel(x_hbm, w2_ref, bias_ref, out_ref, xbuf, sem, *, R, W, Wb,
         )
 
 
+def _dma_rows(R: int, KH: int) -> int:
+    """Rows per strip DMA: R + KH - 1 rounded up to the 8-row sublane tile
+    (Mosaic requires HBM slice shapes aligned to the tiling; the slack rows
+    land in scratch but are never read)."""
+    return -(-(R + KH - 1) // 8) * 8
+
+
 def _pad_input(x: jnp.ndarray, KH: int, KW: int,
-               pad_mode: str = "replicate") -> jnp.ndarray:
+               pad_mode: str = "replicate",
+               h_total: int | None = None) -> jnp.ndarray:
     """W-pad by (KW-1)/2 each side (edge-replicate or circular, matching
     ``models/reconstruction.py`` {replicate,circular}_pad_w), zero-pad H
     likewise, flatten the (W, C) minor dims (the model applies exactly this
@@ -130,8 +138,11 @@ def _pad_input(x: jnp.ndarray, KH: int, KW: int,
     else:  # circular
         left, right = x[:, :, -pw:], x[:, :, :pw]
     xp = jnp.concatenate([left, x, right], axis=2)
-    xp = jnp.pad(xp, ((0, 0), (ph, ph), (0, 0), (0, 0)))
-    return xp.reshape(B, H + KH - 1, (W + KW - 1) * C)
+    bottom = ph
+    if h_total is not None:  # DMA-alignment slack rows (never read)
+        bottom += h_total - (H + KH - 1)
+    xp = jnp.pad(xp, ((0, 0), (ph, bottom), (0, 0), (0, 0)))
+    return xp.reshape(B, xp.shape[1], (W + KW - 1) * C)
 
 
 def _fwd_call(xp2: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
@@ -159,9 +170,12 @@ def _fwd_call(xp2: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec((1, R, W * co_pad), lambda b, s: (b, s, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W * co_pad), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((R + KH - 1, (W + KW - 1) * Cin), xp2.dtype),
+            pltpu.VMEM((_dma_rows(R, KH), (W + KW - 1) * Cin), xp2.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=_use_interpret(),
     )(xp2, w2, bias_l)
 
@@ -177,7 +191,7 @@ def _dw_kernel(x_hbm, dy_hbm, out_ref, xbuf, dybuf, sems, *, R, W, Wb, KH,
     s = pl.program_id(1)
     Win = Wb + KW - 1
     dma_x = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(s * R, R + KH - 1), :], xbuf, sems.at[0]
+        x_hbm.at[b, pl.ds(s * R, _dma_rows(R, KH)), :], xbuf, sems.at[0]
     )
     dma_y = pltpu.make_async_copy(
         dy_hbm.at[b, pl.ds(s * R, R), :], dybuf, sems.at[1]
@@ -223,10 +237,13 @@ def _dw_call(xp2: jnp.ndarray, dy2: jnp.ndarray, H: int, W: int, KH: int,
         out_shape=jax.ShapeDtypeStruct((KH, Win * Cin, Wb * co_pad),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((R + KH - 1, (W + KW - 1) * Cin), xp2.dtype),
+            pltpu.VMEM((_dma_rows(R, KH), (W + KW - 1) * Cin), xp2.dtype),
             pltpu.VMEM((R, W * co_pad), dy2.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=_use_interpret(),
     )(xp2, dy2)
 
@@ -243,7 +260,17 @@ _FORCE_PALLAS_HEAD = False
 
 
 def use_pallas_head() -> bool:
-    return _FORCE_PALLAS_HEAD or jax.default_backend() == "tpu"
+    """Default OFF (round-5 measured rejection): the kernel beats XLA's
+    conv core (~28 vs ~42 ms at bs32 incl. tunnel constant) but the
+    integration costs — input pad materialization + output unfold/slice —
+    give ~304 (XLA) vs ~313 ms (Pallas) same-session 1G+2D groups, the same
+    failure mode as the round-3 XLA-level width fold (docs/runs/README.md).
+    IM23D_PALLAS_HEAD=1 opts in for experiments."""
+    import os
+
+    if os.environ.get("IM23D_PALLAS_HEAD"):
+        return True
+    return _FORCE_PALLAS_HEAD
 
 
 def _pick_blocks(H: int, W: int) -> tuple[int, int]:
@@ -272,7 +299,9 @@ def head_conv_tanh(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 def _head_fwd(x, kernel, bias, tanh_out, pad_mode):
     B, H, W, Cin = x.shape
     R, Wb = _pick_blocks(H, W)
-    xp2 = _pad_input(x, kernel.shape[0], kernel.shape[1], pad_mode)
+    KH = kernel.shape[0]
+    xp2 = _pad_input(x, KH, kernel.shape[1], pad_mode,
+                     h_total=(H // R - 1) * R + _dma_rows(R, KH))
     y2 = _fwd_call(xp2, kernel.astype(x.dtype), bias, H, W, _CO_PAD,
                    R, Wb, tanh_out, x.dtype)
     y = y2.reshape(B, H, W, _CO_PAD)
@@ -350,7 +379,7 @@ def _fused_fwd_kernel(x_hbm, at_hbm, bt_hbm, w2_ref, out_ref, xbuf, abuf,
     s = pl.program_id(1)
     Win = Wb + KW - 1
     dma_x = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(s * R, R + KH - 1), :], xbuf, sems.at[0]
+        x_hbm.at[b, pl.ds(s * R, _dma_rows(R, KH)), :], xbuf, sems.at[0]
     )
     dma_x.start()
     if affine:
@@ -365,7 +394,7 @@ def _fused_fwd_kernel(x_hbm, at_hbm, bt_hbm, w2_ref, out_ref, xbuf, abuf,
     ph = (KH - 1) // 2
     # global padded-row index of xbuf row r is s*R + r; pad rows (0, H+1)
     # must stay zero through the affine
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R + KH - 1, 1), 0) + s * R
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_dma_rows(R, KH), 1), 0) + s * R
     row_mask = jnp.logical_and(rows > ph - 1, rows < H + ph)
 
     for wi in range(W // Wb):
@@ -416,11 +445,14 @@ def _fused_conv_fwd_call(xp2, at, bt, kernel, H, W, R, Wb, out_dtype):
         out_specs=pl.BlockSpec((1, R, W * Cout), lambda b, s: (b, s, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W * Cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((R + KH - 1, (W + KW - 1) * Cin), xp2.dtype),
+            pltpu.VMEM((_dma_rows(R, KH), (W + KW - 1) * Cin), xp2.dtype),
             pltpu.VMEM((1, (W + KW - 1) * Cin), jnp.float32),
             pltpu.VMEM((1, (W + KW - 1) * Cin), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=_use_interpret(),
     )(xp2, at, bt, w2)
 
@@ -444,9 +476,16 @@ def _fused_fwd(x, a, bb, kernel, _unused, pad_mode):
     B, H, W, Cin = x.shape
     KH, KW, Cin_k, Cout = kernel.shape
     assert Cin_k == Cin
-    R = 128 if H % 128 == 0 else H
-    Wb = 4 if (W % 4 == 0 and Cout % 32 == 0) else W
-    xp2 = _pad_input(x, KH, KW, pad_mode)
+    import os
+
+    R = int(os.environ.get("IM23D_CONV_R", "128"))
+    if H % R:
+        R = H
+    Wb = int(os.environ.get("IM23D_CONV_WB", "4"))
+    if W % Wb or Cout % 32:
+        Wb = W
+    xp2 = _pad_input(x, KH, KW, pad_mode,
+                     h_total=(H // R - 1) * R + _dma_rows(R, KH))
     at = _tile_affine(a, W, KW) if a is not None else None
     bt = _tile_affine(bb, W, KW) if bb is not None else None
     y2 = _fused_conv_fwd_call(xp2, at, bt, kernel.astype(x.dtype), H, W, R,

@@ -111,6 +111,10 @@ def main() -> None:
                     "degrades after ~500 transfers — see docs/runs/README.md "
                     "— but on a real TPU host it is the production mode)")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--no_logger", action="store_true",
+                    help="disable the MetricsLogger entirely (no TB, no "
+                    "jsonl, no log.txt) — the at-scale arm of the RSS-creep "
+                    "attribution (docs/runs/README.md round 5)")
     ap.add_argument("--probe_every", type=int, default=0,
                     help="if > 0, run the loop with a host-side probe every "
                     "N steps recording RSS, GC counts, dispatch-only time "
@@ -135,6 +139,9 @@ def main() -> None:
     workdir = args.workdir or f"/tmp/{args.category}_sustained_{os.getpid()}"
     tsetup = time.time()
     learner = ShapeNetLearner(cfg, workdir=workdir)
+    if args.no_logger and learner.logger is not None:
+        learner.logger.close()
+        learner.logger = None
     print(f"[phase] learner init {time.time() - tsetup:.1f}s", file=sys.stderr,
           flush=True)
     tsetup = time.time()

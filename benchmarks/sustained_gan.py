@@ -84,7 +84,11 @@ def main() -> None:
 
     root = args.root or f"/tmp/gan_sustained_{os.getpid()}"
     t0 = time.time()
-    if args.noise:
+    cache_marker = os.path.join(root, "cache", "cub", "poses_metadata.npz")
+    if os.path.exists(cache_marker):
+        print(f"[phase] reusing existing cache under {root}",
+              file=sys.stderr, flush=True)
+    elif args.noise:
         make_cache(root, args.images, args.texture_resolution)
     else:
         from im23d_tpu.data.fabricate import build_structured_cache

@@ -110,8 +110,10 @@ class FIDEvaluator:
             img, _ = self._render(mesh_map, tex, s, t, r)
             acts["combined"].append(np.asarray(self._act(img))[:n])
             if variants and "texture" in batch and "mesh" in batch:
-                real_tex = jnp.asarray(batch["texture"])
-                real_mesh = jnp.asarray(batch["mesh"])
+                # cache tensors are fp16; the render path (Pallas sampler)
+                # takes f32/bf16 only — upcast at the eval boundary
+                real_tex = jnp.asarray(batch["texture"], jnp.float32)
+                real_mesh = jnp.asarray(batch["mesh"], jnp.float32)
                 img_t, _ = self._render(real_mesh, tex, s, t, r)
                 acts["texture_only"].append(np.asarray(self._act(img_t))[:n])
                 img_m, _ = self._render(mesh_map, real_tex, s, t, r)

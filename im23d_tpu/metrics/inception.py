@@ -141,10 +141,18 @@ class InceptionV3Features(nn.Module):
     """Blocks 0-3 of the FID InceptionV3; returns 2048-d pool3 features.
 
     Input: (B, H, W, 3) in [0, 1].
+
+    ``feature_layer="Mixed_5d"`` returns 288-d spatially-pooled mid-depth
+    features instead: with RANDOM weights the pool3 head is useless (input
+    differences contract to nothing by the Mixed_6 blocks — measured
+    ~1e-8 feature batch-std), while Mixed_5d still discriminates; the
+    uncalibrated-FID path uses this tap.  Pretrained-weight FID keeps
+    pool3 (published-score comparable).
     """
 
     resize_input: bool = True
     normalize_input: bool = True
+    feature_layer: str = "pool3"
 
     @nn.compact
     def __call__(self, x):
@@ -163,6 +171,8 @@ class InceptionV3Features(nn.Module):
         x = InceptionA(32, name="Mixed_5b")(x)
         x = InceptionA(64, name="Mixed_5c")(x)
         x = InceptionA(64, name="Mixed_5d")(x)
+        if self.feature_layer == "Mixed_5d":
+            return jnp.mean(x, axis=(1, 2))  # 288-d mid-depth features
         x = InceptionB(name="Mixed_6a")(x)
         x = InceptionC(128, name="Mixed_6b")(x)
         x = InceptionC(160, name="Mixed_6c")(x)
@@ -174,12 +184,82 @@ class InceptionV3Features(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 2048
 
 
-def init_inception(rng=None):
+def init_inception(rng=None, calibrate: bool = True,
+                   gain: float = 1.0, feature_layer: str = "Mixed_5d"):
     """(model, variables) with deterministic init; load real weights via
-    ``load_torch_state_dict`` for published-score-comparable FID."""
-    model = InceptionV3Features()
+    ``load_torch_state_dict`` for published-score-comparable FID.
+
+    ``calibrate`` standardizes every BatchNorm's running stats against the
+    layer's actual pre-activation moments on seeded probe images (a few
+    whole-net passes — earlier layers stabilize before later ones).  A raw
+    random-init InceptionV3 collapses to near-constant pool3 features
+    (~2e-6 batch std measured — 48 ReLU layers wash the signal out), which
+    made ``fid_uncalibrated`` a zero-information metric; with calibrated
+    per-layer standardization the random features discriminate inputs, so
+    uncalibrated FID can track training (absolute values remain NOT
+    comparable to published torchvision-weight scores).  Deterministic:
+    pure function of ``rng``.
+    """
+    model = InceptionV3Features(feature_layer=feature_layer)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = jax.jit(model.init)(rng, jnp.zeros((1, 299, 299, 3)))
+    if not calibrate:
+        return model, variables
+
+    # kernel gain: flax's lecun init is sub-critical for ReLU chains (input
+    # differences contract ~sqrt(2)x per layer and die by the deep blocks);
+    # scaling toward/past the He point keeps perturbations propagating while
+    # the calibrated BN stats below keep magnitudes standardized
+    scale = float(np.sqrt(gain))
+
+    def _scale_kernels(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: leaf * scale
+            if path and getattr(path[-1], "key", None) == "kernel" else leaf,
+            tree,
+        )
+
+    variables = {"params": _scale_kernels(variables["params"]),
+                 "batch_stats": variables["batch_stats"]}
+
+    probe = jax.random.uniform(
+        jax.random.fold_in(rng, 1), (8, 299, 299, 3), jnp.float32
+    )
+
+    def _calibrate_pass(variables):
+        _, state = model.apply(
+            variables, probe, capture_intermediates=True,
+            mutable=["intermediates"],
+        )
+        inter = state["intermediates"]
+
+        def walk(stats_node, inter_node):
+            out = {}
+            for key, val in stats_node.items():
+                if key == "bn":  # sibling 'conv' output feeds this bn
+                    conv_out = inter_node["conv"]["__call__"][0]
+                    conv_out = conv_out.astype(jnp.float32)
+                    m = jnp.mean(conv_out, axis=(0, 1, 2))
+                    v = jnp.var(conv_out, axis=(0, 1, 2))
+                    # early passes feed deep layers exploding activations
+                    # (upstream standardization amplifies before downstream
+                    # stats adapt): sanitize so the stable prefix can grow
+                    # one stage per pass instead of poisoning the tree
+                    m = jnp.where(jnp.isfinite(m), jnp.clip(m, -1e4, 1e4), 0.0)
+                    v = jnp.where(jnp.isfinite(v), jnp.clip(v, 1e-4, 1e8), 1.0)
+                    out[key] = {"mean": m, "var": v}
+                else:
+                    out[key] = walk(val, inter_node[key])
+            return out
+
+        return {
+            "params": variables["params"],
+            "batch_stats": walk(variables["batch_stats"], inter),
+        }
+
+    calibrate_jit = jax.jit(_calibrate_pass)
+    for _ in range(20):  # ≥ the number of sequential conv stages
+        variables = calibrate_jit(variables)
     return model, variables
 
 

@@ -72,7 +72,7 @@ def test_cache_layout_readable(tiny_cache):
     assert batch["c"].shape == (4, 1)
     for suffix in ("train", "testval"):
         st = np.load(os.path.join(cache, f"precomputed_fid_75x75_{suffix}.npz"))
-        assert st["stats_m"].shape == (2048,)
+        assert st["stats_m"].shape == (288,)  # calibrated Mixed_5d features
     # the rendered photo channel rides in the per-item npz
     d = np.load(os.path.join(cache, "pseudogt_32x32", "0.npz"),
                 allow_pickle=True)["data"].item()

@@ -112,15 +112,24 @@ def test_frechet_matches_scipy_reference():
 
 @pytest.mark.slow
 def test_inception_features_shape_and_determinism():
+    """Random-weight extractor: deterministic, finite, and DISCRIMINATIVE
+    (round-5 fix: the raw pool3 head collapses to constant features under
+    random weights — ~2e-8 batch std — so the uncalibrated path taps
+    BN-calibrated Mixed_5d features instead)."""
     from im23d_tpu.metrics.inception import init_inception
 
     model, variables = init_inception()
     x = jnp.asarray(np.random.RandomState(8).rand(2, 64, 64, 3), jnp.float32)
     f1 = model.apply(variables, x)
     f2 = model.apply(variables, x)
-    assert f1.shape == (2, 2048)
+    assert f1.shape == (2, 288)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     assert np.all(np.isfinite(np.asarray(f1)))
+    # different inputs -> different features (the property fid_uncalibrated
+    # needs to track training at all)
+    y = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    fy = model.apply(variables, y)
+    assert float(jnp.abs(f1 - fy).mean()) > 1e-2
 
 
 def test_fid_from_activations_sanity():

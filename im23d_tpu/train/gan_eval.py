@@ -129,6 +129,14 @@ class FIDEvaluator:
 
     @staticmethod
     def fid_against_stats(activations: np.ndarray, m_real, s_real) -> float:
+        if activations.shape[-1] != len(m_real):
+            raise ValueError(
+                f"feature dim {activations.shape[-1]} != precomputed stats "
+                f"dim {len(m_real)}: the cache stats were computed with a "
+                "different extractor (uncalibrated runs use 288-d Mixed_5d "
+                "features, pretrained-weight runs 2048-d pool3) — "
+                "regenerate the cache's precomputed_fid_*.npz"
+            )
         m, s = calculate_stats(activations)
         return frechet_distance(m, s, m_real, s_real)
 

@@ -85,9 +85,11 @@ def test_generate_pseudogt_writes_reference_format(tmp_path):
 
     # FID stats with tril-packed covariance
     stats = np.load(os.path.join(cache_dir, "precomputed_fid_75x75_train.npz"))
-    assert stats["stats_m"].shape == (2048,)
+    # uncalibrated extractor = 288-d calibrated Mixed_5d features (round 5;
+    # with pretrained weights the exporter would emit 2048-d pool3 stats)
+    assert stats["stats_m"].shape == (288,)
     s = stats["stats_s"]
-    assert s.shape == (2048, 2048)
+    assert s.shape == (288, 288)
     assert np.allclose(s, np.tril(s))  # upper triangle zeroed
     assert int(stats["num_images"]) == 4
     assert int(stats["resolution"]) == 75

@@ -49,15 +49,15 @@ def make_synthetic_cub_cache(root, n=N_IMAGES, res=TEX_RES, captions=False):
 
     # fake-but-valid FID real stats (random inception weights in CI anyway);
     # the testval stats have fewer images to exercise the val subsampling
-    s = np.tril(rng.rand(2048, 2048).astype(np.float32) * 1e-3)
+    s = np.tril(rng.rand(288, 288).astype(np.float32) * 1e-3)
     np.savez(
         os.path.join(cache, "precomputed_fid_299x299_train.npz"),
-        stats_m=rng.rand(2048).astype(np.float32),
+        stats_m=rng.rand(288).astype(np.float32),
         stats_s=s, num_images=n, resolution=299,
     )
     np.savez(
         os.path.join(cache, "precomputed_fid_299x299_testval.npz"),
-        stats_m=rng.rand(2048).astype(np.float32),
+        stats_m=rng.rand(288).astype(np.float32),
         stats_s=s, num_images=max(n - 2, 1), resolution=299,
     )
 
@@ -202,10 +202,10 @@ def make_synthetic_p3d_cache(root, n_imagenet=4, n_pascal=2, res=TEX_RES):
             texture_alpha=(rng.rand(1, res, res) > 0.3).astype(np.float16),
             mesh=(rng.randn(3, 32, 32) * 0.01).astype(np.float16),
         ))
-    s = np.tril(rng.rand(2048, 2048).astype(np.float32) * 1e-3)
+    s = np.tril(rng.rand(288, 288).astype(np.float32) * 1e-3)
     np.savez(
         os.path.join(cache, "precomputed_fid_299x299_train.npz"),
-        stats_m=rng.rand(2048).astype(np.float32),
+        stats_m=rng.rand(288).astype(np.float32),
         stats_s=s, num_images=n, resolution=299,
     )
 

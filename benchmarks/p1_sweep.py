@@ -56,8 +56,10 @@ def run_single(zc: int, blk: int, steps: int = 10, reps: int = 3,
 
     measure()  # compile at the forced step position
     dt = min(measure() for _ in range(reps))
+    p_now, _ = learner._schedules(learner.state.step)
     print(json.dumps(dict(
         zc=zc, blk=blk, at_start=at_start,
+        step_now=int(learner.state.step), p_now=round(float(p_now), 4),
         step_ms=round(dt / steps * 1e3, 3),
         imgs_per_sec=round(cfg.batch_size * steps / dt, 1),
     )), flush=True)

@@ -254,11 +254,14 @@ def main(gan_rec: dict | None = None) -> None:
 
     # End-of-schedule companion number: a fresh learner measures near
     # schedule start (dropout keep-prob p = 0.07), where the windowed splat
-    # legitimately skips ~93% of points; per-step cost is a function of
-    # schedule position (docs/runs step_time_sweep: 19.7 -> 29.4 ms over
-    # the sweep).  Forcing state.step to the end of the 130k schedule
-    # measures the p = 1.0 full-workload rate, so the record carries both
-    # ends of the honest range.
+    # legitimately skips ~93% of points.  Forcing state.step to the end of
+    # the 130k schedule measures the p = 1.0 regime.  Round-5 caveat: this
+    # cost is CONTENT-dependent (out-of-bounds culling tracks how trained
+    # the cloud is — docs/runs/README.md p=1.0 investigation), and by this
+    # point the pool has absorbed the 90 headline steps, so this proxy
+    # reads low; the honest trained-regime number is the completed 130k
+    # run's final drains (27.1 ms/step = 886 imgs/s).  The proxy stays for
+    # round-over-round comparability.
     import jax.numpy as jnp
 
     learner.state = learner.state.replace(

@@ -265,3 +265,29 @@ def test_gan_cli_text_conditional(tmp_path, monkeypatch):
         f.startswith("samples_render")
         for f in os.listdir(workdir / "images")
     )
+
+
+@pytest.mark.slow
+def test_gan_cli_device_cache_matches_host_path(tmp_path, monkeypatch):
+    """--device_cache trains through the same CLI loop as the host iterator
+    (same epoch/augment semantics — exact batch parity is pinned in
+    tests/test_fabricate.py); metrics stream and checkpoints land as usual."""
+    cache = make_synthetic_cub_cache(str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+
+    rc = main(BASE_ARGS + [
+        "--name", "dc", "--cache_dir", cache, "--conditional_class",
+        "--device_cache",
+        "--epochs", "2", "--evaluate_freq", "100", "--save_freq", "2",
+        "--checkpoint_freq", "100",
+    ])
+    assert rc == 0
+    workdir = tmp_path / "gan_weights" / "dc"
+    records = [
+        json.loads(line)
+        for line in (workdir / "metrics_gan.jsonl").read_text().splitlines()
+    ]
+    keys = set().union(*(r.keys() for r in records))
+    assert "g_loss" in keys and "d_fake" in keys
+    log = (workdir / "log.txt").read_text()
+    assert "device_cache: staged" in log
